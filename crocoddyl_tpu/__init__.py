@@ -1,0 +1,17 @@
+"""crocoddyl_tpu — a TPU-native trajectory-optimization (DDP/FDDP) framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of Crocoddyl
+(contact-RObot COntrol by Differential DYnamic programming): manifold states,
+action models, shooting problems, DDP-family solvers with feedback gains,
+rigid-body dynamics with contacts/impulses, cost libraries, gait factories,
+and batched multi-device solving over a `jax.sharding.Mesh`.
+"""
+
+from .core.manifolds import StateBase, StateVector, state_vector
+from .core.action import ActionModel, NodeDerivs, stack_models, replicate_model
+from .core.problem import ShootingProblem
+from .core.solvers.fddp import (
+    SolverSettings, Solution, Trace, solve, ddp_settings, fddp_settings,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,454 @@
+"""DDP / FDDP solvers — fully jitted, branchless, batchable.
+
+Reference semantics reproduced exactly from:
+  - src/core/solvers/ddp.cpp   (SolverDDP: solve/backwardPass/forwardPass/
+    computeGains/expectedImprovement/regularization schedule)
+  - src/core/solvers/fddp.cpp  (SolverFDDP: gap-aware expected improvement,
+    gap-contracting forward pass, negative-step acceptance)
+
+TPU-native design notes
+-----------------------
+* The reference's exception-driven control flow (non-PD Cholesky / NaN ⇒
+  throw ⇒ regularization escalation ×10; NaN rollout ⇒ skip that α) becomes
+  branchless: failure flags are carried through ``lax.scan``/``lax.while_loop``
+  and escalation is a masked retry loop (ddp.cpp:56-70).
+* The two forward-pass branches (fddp.cpp:159-224) collapse into one formula:
+  ``xs_try[t] = integrate(xnext, (α−1)·fs[t])`` — with gaps fs≡0 (feasible) or
+  α=1 this reduces to the plain rollout, which is exactly the reference's
+  feasible branch.  DDP is the special case fs≡0 in the rollout plus its own
+  acceptance rule.
+* The 10-candidate backtracking line search (alphas 2^0..2^-9, ddp.cpp:27-31)
+  is evaluated in parallel with ``vmap`` over α and the first acceptable step
+  is selected — decision-equivalent to the reference's sequential early-exit
+  loop because each α's acceptance test is independent of the others.
+* The per-node derivative evaluation (OpenMP loop in shooting.hxx:163-196) is
+  a ``vmap`` over the horizon; the Riccati recursion (ddp.cpp:180-253) is a
+  ``lax.scan`` over reversed time with dense (ndx,ndx) blocks, which XLA maps
+  onto the MXU once batched over problem instances.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..problem import ShootingProblem
+
+
+class SolverSettings(struct.PyTreeNode):
+    """Static solver configuration (all fields hashable/static).
+
+    Defaults mirror SolverAbstract / SolverDDP / SolverFDDP constructors
+    (solver-base.cpp:24-25, ddp.cpp:16-31, fddp.cpp:15).
+    """
+
+    maxiter: int = struct.field(pytree_node=False, default=100)
+    feasibility_driven: bool = struct.field(pytree_node=False, default=True)
+    th_acceptstep: float = struct.field(pytree_node=False, default=0.1)
+    th_stop: float = struct.field(pytree_node=False, default=1e-9)
+    th_grad: float = struct.field(pytree_node=False, default=1e-12)
+    th_stepdec: float = struct.field(pytree_node=False, default=0.5)
+    th_stepinc: float = struct.field(pytree_node=False, default=0.01)
+    th_acceptnegstep: float = struct.field(pytree_node=False, default=2.0)
+    regfactor: float = struct.field(pytree_node=False, default=10.0)
+    regmin: float = struct.field(pytree_node=False, default=1e-9)
+    regmax: float = struct.field(pytree_node=False, default=1e9)
+    n_alphas: int = struct.field(pytree_node=False, default=10)
+    record_trace: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def alphas(self):
+        return [1.0 / (2.0 ** n) for n in range(self.n_alphas)]
+
+
+class Trace(struct.PyTreeNode):
+    """Per-iteration diagnostics — the CallbackVerbose columns
+    (src/core/utils/callbacks.cpp: iter/cost/stop/grad(−d1)/xreg/ureg/step/feas)."""
+
+    cost: jax.Array
+    stop: jax.Array
+    grad: jax.Array
+    xreg: jax.Array
+    ureg: jax.Array
+    steplength: jax.Array
+    feasible: jax.Array
+
+
+class Solution(struct.PyTreeNode):
+    """Solver output; field names follow the reference getters
+    (solver-base.hpp:174-227, ddp.hpp:188-236)."""
+
+    xs: jax.Array          # (T+1, nx)
+    us: jax.Array          # (T, nu)
+    K: jax.Array           # (T, nu, ndx) feedback gains
+    k: jax.Array           # (T, nu) feedforward
+    Vx: jax.Array          # (T+1, ndx)
+    Vxx: jax.Array         # (T+1, ndx, ndx)
+    Qu: jax.Array          # (T, nu)
+    fs: jax.Array          # (T+1, ndx) defect gaps
+    cost: jax.Array
+    stop: jax.Array
+    xreg: jax.Array
+    ureg: jax.Array
+    steplength: jax.Array
+    d0: jax.Array          # expected improvement, linear term
+    d1: jax.Array          # expected improvement, quadratic term
+    iter: jax.Array
+    is_feasible: jax.Array
+    converged: jax.Array
+    diverged: jax.Array
+    trace: Optional[Trace] = None
+
+
+class _IterState(struct.PyTreeNode):
+    xs: jax.Array
+    us: jax.Array
+    feasible: jax.Array       # is_feasible_
+    was_feasible: jax.Array
+    xreg: jax.Array
+    ureg: jax.Array
+    cost: jax.Array
+    # derivatives at candidate
+    derivs: object            # NodeDerivs stacked (T, ...)
+    dterm: object             # terminal NodeDerivs
+    fs: jax.Array             # (T+1, ndx)
+    need_recalc: jax.Array
+    # direction
+    Vx: jax.Array
+    Vxx: jax.Array
+    Qu: jax.Array
+    k: jax.Array
+    K: jax.Array
+    Quuk: jax.Array
+    dg: jax.Array
+    dq: jax.Array
+    d0: jax.Array
+    d1: jax.Array
+    stop: jax.Array
+    steplength: jax.Array
+    iter: jax.Array
+    converged: jax.Array
+    diverged: jax.Array
+    trace: Optional[Trace]
+
+
+# ----------------------------------------------------------------------------
+# Backward pass (Riccati recursion) — ddp.cpp:180-253, computeGains:298-310
+# ----------------------------------------------------------------------------
+
+def _backward_pass(derivs, dterm, fs, xreg, ureg):
+    dt = fs.dtype
+    ndx = fs.shape[-1]
+    eye = jnp.eye(ndx, dtype=dt)
+
+    Vxx_T = dterm.Lxx + xreg * eye
+    Vx_T = dterm.Lx + Vxx_T @ fs[-1]
+    failed0 = jnp.isnan(Vx_T).any() | jnp.isnan(Vxx_T).any()
+
+    def step(carry, inp):
+        Vx_n, Vxx_n, failed = carry
+        d, f = inp
+        FxT_Vxx = d.Fx.T @ Vxx_n
+        Qxx = d.Lxx + FxT_Vxx @ d.Fx
+        Qx = d.Lx + d.Fx.T @ Vx_n
+        Qxu = d.Lxu + FxT_Vxx @ d.Fu
+        Quu = d.Luu + d.Fu.T @ Vxx_n @ d.Fu
+        Quu = Quu + ureg * jnp.eye(Quu.shape[-1], dtype=dt)
+        Qu = d.Lu + d.Fu.T @ Vx_n
+
+        chol = jnp.linalg.cholesky(Quu)
+        failed = failed | jnp.isnan(chol).any()
+        K = jax.scipy.linalg.cho_solve((chol, True), Qxu.T)
+        kvec = jax.scipy.linalg.cho_solve((chol, True), Qu)
+        Quuk = Quu @ kvec
+
+        Vx = Qx + K.T @ Quuk - 2.0 * (K.T @ Qu)
+        Vxx = Qxx - Qxu @ K
+        Vxx = 0.5 * (Vxx + Vxx.T)
+        Vxx = Vxx + xreg * eye
+        Vx = Vx + Vxx @ f
+
+        failed = failed | jnp.isnan(Vx).any() | jnp.isnan(Vxx).any()
+        return (Vx, Vxx, failed), (Vx, Vxx, Qu, kvec, K, Quuk)
+
+    (_, _, failed), outs = jax.lax.scan(
+        step, (Vx_T, Vxx_T, failed0), (derivs, fs[:-1]), reverse=True)
+    Vx_r, Vxx_r, Qu, kvec, K, Quuk = outs
+    Vx = jnp.concatenate([Vx_r, Vx_T[None]], axis=0)
+    Vxx = jnp.concatenate([Vxx_r, Vxx_T[None]], axis=0)
+    return Vx, Vxx, Qu, kvec, K, Quuk, failed
+
+
+# ----------------------------------------------------------------------------
+# Forward pass — unified fddp.cpp:149-237 / ddp.cpp:255-296
+# ----------------------------------------------------------------------------
+
+def _forward_pass(problem: ShootingProblem, xs, us, k, K, fs, alpha):
+    """One trial rollout at step length ``alpha``.
+
+    ``fs`` must already be zeroed for the feasible / plain-DDP case; then this
+    is exactly the reference's feasible branch.
+    """
+    st = problem.state
+    gap_scale = alpha - 1.0
+
+    def step(carry, inp):
+        xnext, cost_try, failed = carry
+        m, x_ref, u_ref, kv, Kv, f = inp
+        x_try = st.integrate(xnext, gap_scale * f)
+        dx = st.diff(x_ref, x_try)
+        u_try = u_ref - alpha * kv - Kv @ dx
+        xnext_new, c = m.calc(x_try, u_try)
+        cost_try = cost_try + c
+        failed = failed | jnp.isnan(cost_try) | jnp.isnan(xnext_new).any()
+        return (xnext_new, cost_try, failed), (x_try, u_try)
+
+    dt = xs.dtype
+    init = (problem.x0.astype(dt), jnp.zeros((), dt), jnp.zeros((), bool))
+    (xnext, cost_try, failed), (xs_try, us_try) = jax.lax.scan(
+        step, init, (problem.running, xs[:-1], us, k, K, fs[:-1]))
+
+    xT_try = st.integrate(xnext, gap_scale * fs[-1])
+    cost_try = cost_try + problem.terminal.calc_terminal(xT_try)
+    failed = failed | jnp.isnan(cost_try)
+    xs_try = jnp.concatenate([xs_try, xT_try[None]], axis=0)
+    return xs_try, us_try, cost_try, failed
+
+
+# ----------------------------------------------------------------------------
+# Derivatives + gaps at the candidate — SolverDDP::calcDiff (ddp.cpp:157-178)
+# ----------------------------------------------------------------------------
+
+def _calc_diff(problem: ShootingProblem, xs, us, feasible):
+    st = problem.state
+    xnexts, costs = problem.calc(xs, us)
+    derivs, dterm = problem.calc_diff(xs, us)
+    cost = jnp.sum(costs)
+    f0 = st.diff(xs[0], problem.x0.astype(xs.dtype))
+    frest = jax.vmap(st.diff)(xs[1:], xnexts)
+    fs = jnp.concatenate([f0[None], frest], axis=0)
+    fs = jnp.where(feasible, jnp.zeros_like(fs), fs)
+    return derivs, dterm, fs, cost
+
+
+# ----------------------------------------------------------------------------
+# Main solve loop
+# ----------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("settings",))
+def solve(problem: ShootingProblem,
+          xs_init: Optional[jax.Array] = None,
+          us_init: Optional[jax.Array] = None,
+          settings: SolverSettings = SolverSettings(),
+          is_feasible: bool = False,
+          reginit: Optional[float] = None) -> Solution:
+    """Solve the shooting problem; mirrors SolverFDDP::solve (fddp.cpp:19-105)
+    and SolverDDP::solve (ddp.cpp:41-118) when ``feasibility_driven=False``."""
+    s = settings
+    T = problem.T
+    st = problem.state
+    nu = problem.running.nu
+
+    x0 = problem.x0
+    dt = x0.dtype
+    if xs_init is None:
+        xs_init = jnp.tile(x0[None], (T + 1, 1))
+    if us_init is None:
+        us_init = jnp.zeros((T, nu), dtype=dt)
+    xs_init = xs_init.astype(dt)
+    us_init = us_init.astype(dt)
+
+    reg0 = jnp.asarray(s.regmin if reginit is None else reginit, dtype=dt)
+    alphas = jnp.asarray(s.alphas, dtype=dt)
+    ndx = st.ndx
+
+    feas0 = jnp.asarray(is_feasible)
+    derivs0, dterm0, fs0, cost0 = _calc_diff(problem, xs_init, us_init, feas0)
+
+    if s.record_trace:
+        nanvec = jnp.full((s.maxiter,), jnp.nan, dtype=dt)
+        trace0 = Trace(cost=nanvec, stop=nanvec, grad=nanvec, xreg=nanvec,
+                       ureg=nanvec, steplength=nanvec,
+                       feasible=jnp.zeros((s.maxiter,), bool))
+    else:
+        trace0 = None
+
+    zK = jnp.zeros((T, nu, ndx), dtype=dt)
+    zk = jnp.zeros((T, nu), dtype=dt)
+    state0 = _IterState(
+        xs=xs_init, us=us_init, feasible=feas0,
+        was_feasible=jnp.zeros((), bool),
+        xreg=reg0, ureg=reg0, cost=cost0,
+        derivs=derivs0, dterm=dterm0, fs=fs0,
+        need_recalc=jnp.zeros((), bool),  # derivatives just computed
+        Vx=jnp.zeros((T + 1, ndx), dtype=dt),
+        Vxx=jnp.zeros((T + 1, ndx, ndx), dtype=dt),
+        Qu=zk, k=zk, K=zK, Quuk=zk,
+        dg=jnp.zeros((), dt), dq=jnp.zeros((), dt),
+        d0=jnp.zeros((), dt), d1=jnp.zeros((), dt),
+        stop=jnp.asarray(jnp.inf, dt),
+        steplength=jnp.ones((), dt),
+        iter=jnp.zeros((), jnp.int32),
+        converged=jnp.zeros((), bool),
+        diverged=jnp.zeros((), bool),
+        trace=trace0,
+    )
+
+    regfactor = jnp.asarray(s.regfactor, dt)
+    regmin = jnp.asarray(s.regmin, dt)
+    regmax = jnp.asarray(s.regmax, dt)
+
+    def compute_direction(st_: _IterState) -> _IterState:
+        # recalcDiff semantics (ddp.cpp:41-76): derivatives refresh only after
+        # an accepted step; failed backward passes reuse them.
+        derivs, dterm, fs, cost = jax.lax.cond(
+            st_.need_recalc,
+            lambda: _calc_diff(problem, st_.xs, st_.us, st_.feasible),
+            lambda: (st_.derivs, st_.dterm, st_.fs, st_.cost))
+
+        def bp(xreg, ureg):
+            return _backward_pass(derivs, dterm, fs, xreg, ureg)
+
+        Vx, Vxx, Qu, kvec, K, Quuk, failed = bp(st_.xreg, st_.ureg)
+
+        def retry_cond(c):
+            (_, _, _, _, _, _, failed_), _, pending = c
+            return pending
+
+        def retry_body(c):
+            res, (xreg, ureg), _ = c
+            xreg_n = jnp.minimum(xreg * regfactor, regmax)
+            aborted = xreg_n >= regmax
+            res_n = bp(xreg_n, xreg_n)
+            failed_n = res_n[-1]
+            pending = failed_n & ~aborted
+            return res_n, (xreg_n, xreg_n), pending
+
+        init = ((Vx, Vxx, Qu, kvec, K, Quuk, failed), (st_.xreg, st_.ureg),
+                failed & ~(st_.xreg >= regmax))
+        (res, (xreg, ureg), _) = jax.lax.while_loop(retry_cond, retry_body, init)
+        Vx, Vxx, Qu, kvec, K, Quuk, failed = res
+        diverged = st_.diverged | failed  # still failing at regmax ⇒ abort
+        return st_.replace(derivs=derivs, dterm=dterm, fs=fs, cost=cost,
+                           Vx=Vx, Vxx=Vxx, Qu=Qu, k=kvec, K=K, Quuk=Quuk,
+                           xreg=xreg, ureg=ureg, diverged=diverged)
+
+    def update_expected_improvement(st_: _IterState) -> _IterState:
+        # fddp.cpp:126-147 (FDDP) / ddp.cpp:144-155 (DDP)
+        dg = jnp.sum(st_.Qu * st_.k)
+        dq = -jnp.sum(st_.k * st_.Quuk)
+        if s.feasibility_driven:
+            dg = dg - jnp.sum(st_.Vx * st_.fs)
+            dq = dq + jnp.sum(st_.fs * jnp.einsum("tij,tj->ti", st_.Vxx, st_.fs))
+        return st_.replace(dg=dg, dq=dq)
+
+    def line_search(st_: _IterState) -> _IterState:
+        fs_fwd = st_.fs if s.feasibility_driven else jnp.zeros_like(st_.fs)
+
+        def trial(alpha):
+            xs_try, us_try, cost_try, failed = _forward_pass(
+                problem, st_.xs, st_.us, st_.k, st_.K, fs_fwd, alpha)
+            dV = st_.cost - cost_try
+            if s.feasibility_driven:
+                # fddp.cpp:107-124 expectedImprovement at the trial point
+                dx = jax.vmap(st.diff)(xs_try, st_.xs)
+                dv = -jnp.sum(st_.fs * jnp.einsum("tij,tj->ti", st_.Vxx, dx))
+                d0 = st_.dg + dv
+                d1 = st_.dq - 2.0 * dv
+            else:
+                d0, d1 = st_.dg, st_.dq
+            dVexp = alpha * (d0 + 0.5 * alpha * d1)
+            if s.feasibility_driven:
+                pos = (dVexp >= 0) & ((d0 < s.th_grad) | (dV > s.th_acceptstep * dVexp))
+                neg = (dVexp < 0) & (dV > s.th_acceptnegstep * dVexp)
+                accept = pos | neg
+            else:
+                accept = (dVexp >= 0) & ((d0 < s.th_grad) | ~st_.feasible
+                                         | (dV > s.th_acceptstep * dVexp))
+            accept = accept & ~failed
+            return xs_try, us_try, cost_try, accept, dV, dVexp, d0, d1
+
+        xs_t, us_t, cost_t, acc, dV, dVexp, d0s, d1s = jax.vmap(trial)(alphas)
+        any_acc = acc.any()
+        idx = jnp.argmax(acc)  # first (largest) accepted α
+        steplength = jnp.where(any_acc, alphas[idx], alphas[-1])
+
+        pick = lambda arr: arr[idx]
+        xs_new = jnp.where(any_acc, pick(xs_t), st_.xs)
+        us_new = jnp.where(any_acc, pick(us_t), st_.us)
+        cost_new = jnp.where(any_acc, pick(cost_t), st_.cost)
+        if s.feasibility_driven:
+            feas_new = st_.was_feasible | (steplength == 1.0)
+        else:
+            feas_new = jnp.ones((), bool)
+        was_feas = jnp.where(any_acc, st_.feasible, st_.was_feasible)
+        feasible = jnp.where(any_acc, feas_new, st_.feasible)
+        return st_.replace(
+            xs=xs_new, us=us_new, cost=cost_new, feasible=feasible,
+            was_feasible=was_feas, need_recalc=any_acc,
+            steplength=steplength, d0=pick(d0s), d1=pick(d1s))
+
+    def adjust_regularization(st_: _IterState) -> _IterState:
+        # ddp.cpp:95-104 + increase/decreaseRegularization (ddp.cpp:312-326)
+        dec = st_.steplength > s.th_stepdec
+        inc = st_.steplength <= s.th_stepinc
+        xreg = st_.xreg
+        xreg = jnp.where(dec, jnp.maximum(xreg / regfactor, regmin), xreg)
+        xreg = jnp.where(inc, jnp.minimum(xreg * regfactor, regmax), xreg)
+        diverged = st_.diverged | (inc & (xreg >= regmax))
+        return st_.replace(xreg=xreg, ureg=xreg, diverged=diverged)
+
+    def record(st_: _IterState) -> _IterState:
+        if not s.record_trace:
+            return st_
+        i = st_.iter
+        tr = st_.trace
+        tr = Trace(
+            cost=tr.cost.at[i].set(st_.cost),
+            stop=tr.stop.at[i].set(st_.stop),
+            grad=tr.grad.at[i].set(-st_.d1),
+            xreg=tr.xreg.at[i].set(st_.xreg),
+            ureg=tr.ureg.at[i].set(st_.ureg),
+            steplength=tr.steplength.at[i].set(st_.steplength),
+            feasible=tr.feasible.at[i].set(st_.feasible),
+        )
+        return st_.replace(trace=tr)
+
+    def iteration(st_: _IterState) -> _IterState:
+        st_ = compute_direction(st_)
+        st_ = update_expected_improvement(st_)
+        st_ = line_search(st_)
+        st_ = adjust_regularization(st_)
+        stop = jnp.sum(st_.Qu ** 2)  # ddp.cpp:132-142
+        st_ = st_.replace(stop=stop)
+        st_ = record(st_)
+        converged = st_.was_feasible & (stop < s.th_stop)
+        return st_.replace(converged=converged, iter=st_.iter + 1)
+
+    def cond(st_):
+        return (st_.iter < s.maxiter) & ~st_.converged & ~st_.diverged
+
+    final = jax.lax.while_loop(cond, iteration, state0)
+
+    return Solution(
+        xs=final.xs, us=final.us, K=final.K, k=final.k,
+        Vx=final.Vx, Vxx=final.Vxx, Qu=final.Qu, fs=final.fs,
+        cost=final.cost, stop=final.stop, xreg=final.xreg, ureg=final.ureg,
+        steplength=final.steplength, d0=final.d0, d1=final.d1,
+        iter=final.iter, is_feasible=final.feasible,
+        converged=final.converged, diverged=final.diverged,
+        trace=final.trace,
+    )
+
+
+def ddp_settings(**kw) -> SolverSettings:
+    return SolverSettings(feasibility_driven=False, **kw)
+
+
+def fddp_settings(**kw) -> SolverSettings:
+    return SolverSettings(feasibility_driven=True, **kw)
