@@ -60,6 +60,13 @@ class SolverSettings(struct.PyTreeNode):
     regmax: float = struct.field(pytree_node=False, default=1e9)
     n_alphas: int = struct.field(pytree_node=False, default=10)
     record_trace: bool = struct.field(pytree_node=False, default=True)
+    # Box-constrained variants (SolverBoxDDP/BoxFDDP; box-ddp.cpp:16-28):
+    # per-node BoxQP over du bounds, clamped forward pass, th_stop 5e-5.
+    box: bool = struct.field(pytree_node=False, default=False)
+    qp_maxiter: int = struct.field(pytree_node=False, default=100)
+    qp_th_acceptstep: float = struct.field(pytree_node=False, default=0.1)
+    qp_th_grad: float = struct.field(pytree_node=False, default=1e-5)
+    qp_reg: float = struct.field(pytree_node=False, default=0.0)
 
     @property
     def alphas(self):
@@ -141,7 +148,9 @@ class _IterState(struct.PyTreeNode):
 # Backward pass (Riccati recursion) — ddp.cpp:180-253, computeGains:298-310
 # ----------------------------------------------------------------------------
 
-def _backward_pass(derivs, dterm, fs, xreg, ureg):
+def _backward_pass(derivs, dterm, fs, xreg, ureg, box_args=None):
+    """``box_args`` enables the BoxDDP/BoxFDDP gain computation
+    (box-ddp.cpp:46-75): (us, u_lb, u_ub, k_warm, feasible, qp_settings)."""
     dt = fs.dtype
     ndx = fs.shape[-1]
     eye = jnp.eye(ndx, dtype=dt)
@@ -150,9 +159,16 @@ def _backward_pass(derivs, dterm, fs, xreg, ureg):
     Vx_T = dterm.Lx + Vxx_T @ fs[-1]
     failed0 = jnp.isnan(Vx_T).any() | jnp.isnan(Vxx_T).any()
 
+    if box_args is not None:
+        from . import boxqp
+        us, u_lb, u_ub, k_warm, feasible, qp_kw = box_args
+
     def step(carry, inp):
         Vx_n, Vxx_n, failed = carry
-        d, f = inp
+        if box_args is None:
+            d, f = inp
+        else:
+            d, f, u_t, lb_t, ub_t, kw_t = inp
         FxT_Vxx = d.Fx.T @ Vxx_n
         Qxx = d.Lxx + FxT_Vxx @ d.Fx
         Qx = d.Lx + d.Fx.T @ Vx_n
@@ -165,6 +181,22 @@ def _backward_pass(derivs, dterm, fs, xreg, ureg):
         failed = failed | jnp.isnan(chol).any()
         K = jax.scipy.linalg.cho_solve((chol, True), Qxu.T)
         kvec = jax.scipy.linalg.cho_solve((chol, True), Qu)
+
+        if box_args is not None:
+            # BoxQP over the step bounds, warm-started with the previous
+            # feedforward (box-ddp.cpp:52-57); applied only on nodes with
+            # control limits and once feasible, as in the reference.
+            du_lb, du_ub = lb_t - u_t, ub_t - u_t
+            qsol = boxqp.solve(Quu, Qu, du_lb, du_ub, kw_t, **qp_kw)
+            has_limits = jnp.isfinite(lb_t).any() | jnp.isfinite(ub_t).any()
+            use_box = has_limits & feasible
+            K_box = qsol.Hff_inv @ Qxu.T
+            k_box = -qsol.x
+            Qu_box = jnp.where(qsol.free, Qu, jnp.zeros_like(Qu))
+            K = jnp.where(use_box, K_box, K)
+            kvec = jnp.where(use_box, k_box, kvec)
+            Qu = jnp.where(use_box, Qu_box, Qu)
+            failed = failed | (use_box & qsol.failed)
         Quuk = Quu @ kvec
 
         Vx = Qx + K.T @ Quuk - 2.0 * (K.T @ Qu)
@@ -176,8 +208,12 @@ def _backward_pass(derivs, dterm, fs, xreg, ureg):
         failed = failed | jnp.isnan(Vx).any() | jnp.isnan(Vxx).any()
         return (Vx, Vxx, failed), (Vx, Vxx, Qu, kvec, K, Quuk)
 
+    if box_args is None:
+        xs_in = (derivs, fs[:-1])
+    else:
+        xs_in = (derivs, fs[:-1], us, u_lb, u_ub, k_warm)
     (_, _, failed), outs = jax.lax.scan(
-        step, (Vx_T, Vxx_T, failed0), (derivs, fs[:-1]), reverse=True)
+        step, (Vx_T, Vxx_T, failed0), xs_in, reverse=True)
     Vx_r, Vxx_r, Qu, kvec, K, Quuk = outs
     Vx = jnp.concatenate([Vx_r, Vx_T[None]], axis=0)
     Vxx = jnp.concatenate([Vxx_r, Vxx_T[None]], axis=0)
@@ -188,21 +224,27 @@ def _backward_pass(derivs, dterm, fs, xreg, ureg):
 # Forward pass — unified fddp.cpp:149-237 / ddp.cpp:255-296
 # ----------------------------------------------------------------------------
 
-def _forward_pass(problem: ShootingProblem, xs, us, k, K, fs, alpha):
+def _forward_pass(problem: ShootingProblem, xs, us, k, K, fs, alpha,
+                  u_lb=None, u_ub=None):
     """One trial rollout at step length ``alpha``.
 
     ``fs`` must already be zeroed for the feasible / plain-DDP case; then this
-    is exactly the reference's feasible branch.
+    is exactly the reference's feasible branch.  With bounds given, controls
+    are clamped as in SolverBoxDDP::forwardPass (box-ddp.cpp:95-97).
     """
     st = problem.state
     gap_scale = alpha - 1.0
+    if u_lb is None:
+        u_lb = jnp.full_like(us, -jnp.inf)
+        u_ub = jnp.full_like(us, jnp.inf)
 
     def step(carry, inp):
         xnext, cost_try, failed = carry
-        m, x_ref, u_ref, kv, Kv, f = inp
+        m, x_ref, u_ref, kv, Kv, f, lb_t, ub_t = inp
         x_try = st.integrate(xnext, gap_scale * f)
         dx = st.diff(x_ref, x_try)
         u_try = u_ref - alpha * kv - Kv @ dx
+        u_try = jnp.clip(u_try, lb_t, ub_t)
         xnext_new, c = m.calc(x_try, u_try)
         cost_try = cost_try + c
         failed = failed | jnp.isnan(cost_try) | jnp.isnan(xnext_new).any()
@@ -211,7 +253,7 @@ def _forward_pass(problem: ShootingProblem, xs, us, k, K, fs, alpha):
     dt = xs.dtype
     init = (problem.x0.astype(dt), jnp.zeros((), dt), jnp.zeros((), bool))
     (xnext, cost_try, failed), (xs_try, us_try) = jax.lax.scan(
-        step, init, (problem.running, xs[:-1], us, k, K, fs[:-1]))
+        step, init, (problem.running, xs[:-1], us, k, K, fs[:-1], u_lb, u_ub))
 
     xT_try = st.integrate(xnext, gap_scale * fs[-1])
     cost_try = cost_try + problem.terminal.calc_terminal(xT_try)
@@ -246,7 +288,9 @@ def solve(problem: ShootingProblem,
           us_init: Optional[jax.Array] = None,
           settings: SolverSettings = SolverSettings(),
           is_feasible: bool = False,
-          reginit: Optional[float] = None) -> Solution:
+          reginit: Optional[float] = None,
+          u_lb: Optional[jax.Array] = None,
+          u_ub: Optional[jax.Array] = None) -> Solution:
     """Solve the shooting problem; mirrors SolverFDDP::solve (fddp.cpp:19-105)
     and SolverDDP::solve (ddp.cpp:41-118) when ``feasibility_driven=False``."""
     s = settings
@@ -303,6 +347,17 @@ def solve(problem: ShootingProblem,
     regmin = jnp.asarray(s.regmin, dt)
     regmax = jnp.asarray(s.regmax, dt)
 
+    if s.box:
+        if u_lb is None:
+            u_lb = getattr(problem.running, "u_lb", None)
+            u_ub = getattr(problem.running, "u_ub", None)
+        if u_lb is None:
+            raise ValueError("box solver requires control bounds (u_lb/u_ub)")
+        u_lb = jnp.broadcast_to(jnp.asarray(u_lb, dt), (T, nu))
+        u_ub = jnp.broadcast_to(jnp.asarray(u_ub, dt), (T, nu))
+        qp_kw = dict(maxiter=s.qp_maxiter, th_acceptstep=s.qp_th_acceptstep,
+                     th_grad=s.qp_th_grad, reg=s.qp_reg)
+
     def compute_direction(st_: _IterState) -> _IterState:
         # recalcDiff semantics (ddp.cpp:41-76): derivatives refresh only after
         # an accepted step; failed backward passes reuse them.
@@ -312,7 +367,9 @@ def solve(problem: ShootingProblem,
             lambda: (st_.derivs, st_.dterm, st_.fs, st_.cost))
 
         def bp(xreg, ureg):
-            return _backward_pass(derivs, dterm, fs, xreg, ureg)
+            box_args = ((st_.us, u_lb, u_ub, st_.k, st_.feasible, qp_kw)
+                        if s.box else None)
+            return _backward_pass(derivs, dterm, fs, xreg, ureg, box_args)
 
         Vx, Vxx, Qu, kvec, K, Quuk, failed = bp(st_.xreg, st_.ureg)
 
@@ -350,9 +407,12 @@ def solve(problem: ShootingProblem,
     def line_search(st_: _IterState) -> _IterState:
         fs_fwd = st_.fs if s.feasibility_driven else jnp.zeros_like(st_.fs)
 
+        bounds = (u_lb, u_ub) if s.box else (None, None)
+
         def trial(alpha):
             xs_try, us_try, cost_try, failed = _forward_pass(
-                problem, st_.xs, st_.us, st_.k, st_.K, fs_fwd, alpha)
+                problem, st_.xs, st_.us, st_.k, st_.K, fs_fwd, alpha,
+                *bounds)
             dV = st_.cost - cost_try
             if s.feasibility_driven:
                 # fddp.cpp:107-124 expectedImprovement at the trial point
@@ -452,3 +512,13 @@ def ddp_settings(**kw) -> SolverSettings:
 
 def fddp_settings(**kw) -> SolverSettings:
     return SolverSettings(feasibility_driven=True, **kw)
+
+
+def box_ddp_settings(**kw) -> SolverSettings:
+    kw.setdefault("th_stop", 5e-5)  # box-ddp.cpp:28
+    return SolverSettings(feasibility_driven=False, box=True, **kw)
+
+
+def box_fddp_settings(**kw) -> SolverSettings:
+    kw.setdefault("th_stop", 5e-5)  # box-fddp.cpp:28
+    return SolverSettings(feasibility_driven=True, box=True, **kw)
