@@ -326,6 +326,90 @@ def aba(model: RobotModel, q, v, tau, fext: Optional[jnp.ndarray] = None,
     return a_out
 
 
+class KinCache:
+    """One second-order kinematics pass shared by contacts/costs/dynamics:
+    world placements, joint-local velocities and q̈=0 bias accelerations,
+    plus the per-joint setup needed for Jacobians."""
+
+    def __init__(self, model: RobotModel, q, v):
+        self.model = model
+        self.q, self.v = q, v
+        self.Xpl, self.Xup, self.Ss, self.vJs = _joint_setup(model, q, v)
+        oMi, vel, acc = [], [], []
+        for i in range(model.njoints):
+            p = model.parents[i]
+            if p == -1:
+                oMi.append(self.Xpl[i])
+                vel.append(self.vJs[i])
+                acc.append(cross_motion(vel[i], self.vJs[i]))
+            else:
+                oMi.append(oMi[p].compose(self.Xpl[i]))
+                vel.append(self.Xup[i].act_motion(vel[p]) + self.vJs[i])
+                acc.append(self.Xup[i].act_motion(acc[p])
+                           + cross_motion(vel[i], self.vJs[i]))
+        self.oMi, self.vels, self.biasacc = oMi, vel, acc
+
+    def frame_placement(self, fid: int) -> Transform:
+        return frame_placement(self.model, self.oMi, fid)
+
+    def frame_velocity(self, fid: int):
+        return frame_motion_local(self.model, self.vels, fid)
+
+    def frame_bias_acc(self, fid: int):
+        return frame_motion_local(self.model, self.biasacc, fid)
+
+    def frame_jacobian_local(self, fid: int):
+        Jw = joint_jacobian_world(self.model, self.oMi, self.Ss,
+                                  self.model.frame_parents[fid])
+        inv = self.frame_placement(fid).inverse()
+        return jax.vmap(inv.act_motion, in_axes=1, out_axes=1)(Jw)
+
+
+def bias_accelerations(model: RobotModel, q, v):
+    """Per-joint spatial acceleration for q̈=0 and no gravity (the kinematic
+    J̇·q̇ bias used as the contact drift; pinocchio computeAllTerms
+    convention).  Returns (oMi, vels, accs) in joint-local frames."""
+    Xpl, Xup, Ss, vJs = _joint_setup(model, q, v)
+    oMi: List[Transform] = []
+    vel: List[jnp.ndarray] = []
+    acc: List[jnp.ndarray] = []
+    for i in range(model.njoints):
+        p = model.parents[i]
+        if p == -1:
+            oMi.append(Xpl[i])
+            vel.append(vJs[i])
+            acc.append(cross_motion(vel[i], vJs[i]))
+        else:
+            oMi.append(oMi[p].compose(Xpl[i]))
+            vel.append(Xup[i].act_motion(vel[p]) + vJs[i])
+            acc.append(Xup[i].act_motion(acc[p]) + cross_motion(vel[i], vJs[i]))
+    return oMi, vel, acc
+
+
+def frame_motion_local(model: RobotModel, per_joint, fid: int):
+    """Transform a per-joint local motion (velocity/acceleration) to the
+    frame's LOCAL frame."""
+    j = model.frame_parents[fid]
+    fX = Transform(model.fp_R[fid], model.fp_p[fid])
+    return fX.inverse().act_motion(per_joint[j])
+
+
+def centroidal_momentum(model: RobotModel, q, v):
+    """h = A(q)·v: spatial momentum [lin; ang] about the CoM, world-aligned
+    (pinocchio computeCentroidalMomentum convention)."""
+    oMi, vels = forward_kinematics(model, q, v)
+    com = center_of_mass(model, q)
+    h = jnp.zeros((6,), q.dtype)
+    for i in range(model.njoints):
+        I = _body_inertia(model, i)
+        h_local = I.mul_motion(vels[i])                      # joint-local
+        h_world = oMi[i].act_force(h_local)                   # about world origin
+        h = h + h_world
+    # shift to com: f_com = translate(world force) by -com
+    lin, ang = h[:3], h[3:]
+    return jnp.concatenate([lin, ang - jnp.cross(com, lin)])
+
+
 # ---------------------------------------------------------------------------
 # Center of mass
 # ---------------------------------------------------------------------------

@@ -1,0 +1,139 @@
+"""Contact and impulse models with fixed-shape activity masks.
+
+Reference: multibody/contacts/contact-3d.hxx (Baumgarte-stabilized point
+contact), contact-6d.hxx (placement contact), multiple-contacts.hxx (ordered
+stack with active/inactive status), impulses/* (impulse variants).
+
+TPU-native design: the contact stack has a STATIC maximal set of contacts;
+per-node 0/1 ``active`` masks replace crocoddyl's changeContactStatus.  An
+inactive contact contributes zeroed Jacobian rows and a unit diagonal in the
+KKT lower-right block, which forces its multiplier to exactly zero — one
+static shape covers every gait phase.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...dynamics import lie
+from ...dynamics.spatial import Transform
+
+
+class Contact3D(struct.PyTreeNode):
+    """Point contact: a0 = a_lin + ω×v_lin + Kp·(p−pref) + Kv·v_lin
+    (contact-3d.hxx:25-44; the Kp term uses the WORLD translation error,
+    matching the reference)."""
+
+    fid: int = struct.field(pytree_node=False)
+    pref: jax.Array = None      # (3,) world reference translation
+    gains: jax.Array = None     # (2,) Baumgarte (Kp, Kv)
+    active: jax.Array = None    # 0/1
+
+    @property
+    def nc(self) -> int:
+        return 3
+
+    def calc(self, cache):
+        J = cache.frame_jacobian_local(self.fid)[:3]
+        vf = cache.frame_velocity(self.fid)
+        vv, vw = vf[:3], vf[3:]
+        ab = cache.frame_bias_acc(self.fid)
+        a0 = ab[:3] + jnp.cross(vw, vv)
+        oMf = cache.frame_placement(self.fid)
+        a0 = a0 + self.gains[0] * (oMf.p - self.pref)
+        a0 = a0 + self.gains[1] * vv
+        return J, a0
+
+    def calc_impulse(self, cache):
+        J = cache.frame_jacobian_local(self.fid)[:3]
+        return J
+
+
+class Contact6D(struct.PyTreeNode):
+    """Placement contact: a0 = a_spatial + Kp·log6(Mref⁻¹·oMf) + Kv·v
+    (contact-6d.hxx:39-66)."""
+
+    fid: int = struct.field(pytree_node=False)
+    ref_R: jax.Array = None
+    ref_p: jax.Array = None
+    gains: jax.Array = None
+    active: jax.Array = None
+
+    @property
+    def nc(self) -> int:
+        return 6
+
+    def calc(self, cache):
+        J = cache.frame_jacobian_local(self.fid)
+        vf = cache.frame_velocity(self.fid)
+        ab = cache.frame_bias_acc(self.fid)
+        oMf = cache.frame_placement(self.fid)
+        rMf = Transform(self.ref_R, self.ref_p).inverse().compose(oMf)
+        a0 = ab + self.gains[0] * lie.log6(rMf.R, rMf.p) + self.gains[1] * vf
+        return J, a0
+
+    def calc_impulse(self, cache):
+        return cache.frame_jacobian_local(self.fid)
+
+
+class ContactSet(struct.PyTreeNode):
+    """Static tuple of contacts; stacks masked (Jc, a0)
+    (multiple-contacts.hxx:24-150)."""
+
+    contacts: Tuple = struct.field(default_factory=tuple)
+
+    @property
+    def nc(self) -> int:
+        return sum(c.nc for c in self.contacts)
+
+    def slices(self):
+        out, i = [], 0
+        for c in self.contacts:
+            out.append((i, c.nc))
+            i += c.nc
+        return out
+
+    def calc(self, cache):
+        """Masked stacked (Jc (nc, nv), a0 (nc,), active_rows (nc,))."""
+        Js, a0s, masks = [], [], []
+        for c in self.contacts:
+            J, a0 = c.calc(cache)
+            m = c.active
+            Js.append(J * m)
+            a0s.append(a0 * m)
+            masks.append(jnp.broadcast_to(m, (c.nc,)))
+        return (jnp.concatenate(Js, axis=0), jnp.concatenate(a0s, axis=0),
+                jnp.concatenate(masks, axis=0))
+
+    def calc_impulse(self, cache):
+        Js, masks = [], []
+        for c in self.contacts:
+            J = c.calc_impulse(cache)
+            m = c.active
+            Js.append(J * m)
+            masks.append(jnp.broadcast_to(m, (c.nc,)))
+        return jnp.concatenate(Js, axis=0), jnp.concatenate(masks, axis=0)
+
+
+def solve_contact_kkt(M, Jc, a0_neg_rhs, tau_minus_b, mask, damping=0.0):
+    """Solve [M Jᵀ; J −damping·I][a; −λ] = [τ−b; −a0]
+    (pinocchio::forwardDynamics used in contact-fwddyn.hxx:77-99).
+
+    Inactive rows (mask 0) get a unit diagonal so λ=0 there exactly.
+    Returns (a, lam (nc,), K (dense KKT matrix)).
+    """
+    dt = M.dtype
+    nv = M.shape[-1]
+    nc = Jc.shape[0]
+    lower_right = (-damping) * jnp.eye(nc, dtype=dt) * mask[:, None]
+    lower_right = lower_right + jnp.diag(1.0 - mask)
+    K = jnp.block([[M, Jc.T], [Jc, lower_right]])
+    rhs = jnp.concatenate([tau_minus_b, -a0_neg_rhs * mask])
+    sol = jnp.linalg.solve(K, rhs)
+    a = sol[:nv]
+    lam = -sol[nv:]
+    return a, lam, K

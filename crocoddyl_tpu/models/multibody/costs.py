@@ -1,0 +1,236 @@
+"""Residual-based cost library + weighted cost sum.
+
+Reference: multibody/cost-base.hpp (residual → activation → Gauss-Newton
+Hessians pattern) and multibody/costs/* for each residual definition (cited
+per class).  Each cost is a pytree dataclass holding its references, an
+activation, a weight and an active flag (the reference's
+CostModelSum::changeCostStatus becomes a 0/1 mask array, so a single jitted
+program covers any cost schedule).
+
+A cost's ``residual(st, cache, x, u)`` reads the per-node
+:class:`~crocoddyl_tpu.dynamics.algorithms.KinCache` plus solver outputs
+(forces) from the node; residual Jacobians come from one node-level AD pass,
+and the Gauss-Newton assembly happens in the node (nodes.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...dynamics import lie
+from ...dynamics.spatial import Transform
+from .activations import Activation, ActivationQuad
+from .frames import CoPSupport, FrictionCone
+
+
+class Cost(struct.PyTreeNode):
+    activation: Activation
+    weight: jax.Array
+    active: jax.Array  # 0/1
+
+    @property
+    def nr(self) -> int:
+        raise NotImplementedError
+
+    def residual(self, st, cache, x, u):
+        raise NotImplementedError
+
+
+def _cost_fields(weight, active, activation, nr):
+    return dict(
+        activation=activation if activation is not None else ActivationQuad(),
+        weight=jnp.asarray(weight, jnp.float64) if not hasattr(weight, "dtype")
+        else weight,
+        active=jnp.asarray(active, jnp.float64),
+    )
+
+
+class CostState(Cost):
+    """r = x ⊖ xref (multibody/costs/state.hxx:137)."""
+
+    xref: jax.Array = None
+
+    @property
+    def nr(self) -> int:
+        return None  # resolved by the node (ndx)
+
+    def residual(self, st, cache, x, u):
+        return st.diff(self.xref, x)
+
+
+class CostControl(Cost):
+    """r = u − uref (multibody/costs/control.hxx)."""
+
+    uref: jax.Array = None
+
+    def residual(self, st, cache, x, u):
+        return u - self.uref
+
+
+class CostCoM(Cost):
+    """r = com(q) − cref (multibody/costs/com-position.hxx)."""
+
+    cref: jax.Array = None
+
+    def residual(self, st, cache, x, u):
+        from ...dynamics import algorithms as algo
+        com = jnp.zeros((3,), x.dtype)
+        m = cache.model
+        for i in range(m.njoints):
+            com = com + m.mass[i] * cache.oMi[i].act_point(m.com[i])
+        return com / jnp.sum(m.mass) - self.cref
+
+
+class CostFramePlacement(Cost):
+    """r = log6(Mref⁻¹ · oMf) (multibody/costs/frame-placement.hxx)."""
+
+    fid: int = struct.field(pytree_node=False, default=0)
+    ref_R: jax.Array = None
+    ref_p: jax.Array = None
+
+    def residual(self, st, cache, x, u):
+        oMf = cache.frame_placement(self.fid)
+        rel = Transform(self.ref_R, self.ref_p).inverse().compose(oMf)
+        return lie.log6(rel.R, rel.p)
+
+
+class CostFrameTranslation(Cost):
+    """r = p_frame − pref (multibody/costs/frame-translation.hxx)."""
+
+    fid: int = struct.field(pytree_node=False, default=0)
+    pref: jax.Array = None
+
+    def residual(self, st, cache, x, u):
+        return cache.frame_placement(self.fid).p - self.pref
+
+
+class CostFrameRotation(Cost):
+    """r = log3(Rrefᵀ · R_frame) (multibody/costs/frame-rotation.hxx)."""
+
+    fid: int = struct.field(pytree_node=False, default=0)
+    ref_R: jax.Array = None
+
+    def residual(self, st, cache, x, u):
+        R = cache.frame_placement(self.fid).R
+        return lie.log3(jnp.swapaxes(self.ref_R, -1, -2) @ R)
+
+
+class CostFrameVelocity(Cost):
+    """r = v_frame(LOCAL) − vref (multibody/costs/frame-velocity.hxx)."""
+
+    fid: int = struct.field(pytree_node=False, default=0)
+    vref: jax.Array = None
+
+    def residual(self, st, cache, x, u):
+        return cache.frame_velocity(self.fid) - self.vref
+
+
+class CostContactForce(Cost):
+    """r = λ_contact − fref in the contact frame
+    (multibody/costs/contact-force.hxx; 3D → linear part only)."""
+
+    contact_idx: int = struct.field(pytree_node=False, default=0)
+    fref: jax.Array = None  # (3,) or (6,)
+
+    def residual(self, st, cache, x, u):
+        f = cache.contact_force(self.contact_idx)  # (3,) or (6,)
+        n = self.fref.shape[-1]
+        return f[:n] - self.fref
+
+
+class CostContactFrictionCone(Cost):
+    """r = A_cone · f_lin with barrier activation
+    (multibody/costs/contact-friction-cone.hxx)."""
+
+    contact_idx: int = struct.field(pytree_node=False, default=0)
+    cone: FrictionCone = None
+
+    def residual(self, st, cache, x, u):
+        f = cache.contact_force(self.contact_idx)
+        return self.cone.A @ f[:3]
+
+
+class CostContactCoP(Cost):
+    """r = A_cop · f6 with [0, ∞) barrier — the fork's CoP-constrained-DDP
+    contribution (multibody/costs/contact-cop-position.hxx:47-88)."""
+
+    contact_idx: int = struct.field(pytree_node=False, default=0)
+    support: CoPSupport = None
+
+    def residual(self, st, cache, x, u):
+        f = cache.contact_force(self.contact_idx)
+        f6 = f if f.shape[-1] == 6 else jnp.concatenate(
+            [f, jnp.zeros((3,), f.dtype)])
+        return self.support.A @ f6
+
+
+class CostCentroidalMomentum(Cost):
+    """r = A(q)·v − href (multibody/costs/centroidal-momentum.hxx)."""
+
+    href: jax.Array = None
+
+    def residual(self, st, cache, x, u):
+        from ...dynamics import algorithms as algo
+        m = cache.model
+        com = jnp.zeros((3,), x.dtype)
+        for i in range(m.njoints):
+            com = com + m.mass[i] * cache.oMi[i].act_point(m.com[i])
+        com = com / jnp.sum(m.mass)
+        h = jnp.zeros((6,), x.dtype)
+        from ...dynamics.spatial import Inertia
+        for i in range(m.njoints):
+            I = Inertia(m=m.mass[i], c=m.com[i], I_c=m.inertia[i])
+            h = h + cache.oMi[i].act_force(I.mul_motion(cache.vels[i]))
+        lin, ang = h[:3], h[3:]
+        h_com = jnp.concatenate([lin, ang - jnp.cross(com, lin)])
+        return h_com - self.href
+
+
+class CostImpulseCoM(Cost):
+    """r = vcom(q, v⁺−v⁻) — CoM velocity change at impact
+    (multibody/costs/impulse-com.hxx)."""
+
+    def residual(self, st, cache, x, u):
+        m = cache.model
+        dv = cache.vnext - cache.v
+        # vcom = (1/mass) Σ m_i · d(com_i)/dt = Jcom · dv
+        from ...dynamics import algorithms as algo
+        Jcom = jax.jacfwd(
+            lambda vv: _com_vel(m, cache, vv))(jnp.zeros_like(dv))
+        return Jcom @ dv
+
+
+def _com_vel(m, cache, v):
+    # helper for CostImpulseCoM: d/dt com along velocity v (via FK linearity)
+    from ...dynamics import algorithms as algo
+    com_fn = lambda q: algo.center_of_mass(m, q)
+    # tangent motion of com under configuration velocity v
+    from ...dynamics.states import StateMultibody
+    st = StateMultibody(model=m)
+    return jax.jvp(lambda dq: com_fn(st._q_integrate(cache.q, dq)),
+                   (jnp.zeros_like(v),), (v,))[1]
+
+
+def cost_nr(cost: Cost, st) -> int:
+    """Static residual size of a cost item."""
+    if isinstance(cost, CostState):
+        return st.ndx
+    if isinstance(cost, CostControl):
+        return cost.uref.shape[-1]
+    if isinstance(cost, (CostCoM, CostFrameTranslation, CostFrameRotation,
+                         CostImpulseCoM)):
+        return 3
+    if isinstance(cost, (CostFramePlacement, CostFrameVelocity,
+                         CostCentroidalMomentum)):
+        return 6
+    if isinstance(cost, CostContactForce):
+        return cost.fref.shape[-1]
+    if isinstance(cost, CostContactFrictionCone):
+        return cost.cone.A.shape[0]
+    if isinstance(cost, CostContactCoP):
+        return 4
+    raise NotImplementedError(type(cost))

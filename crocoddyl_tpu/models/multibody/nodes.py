@@ -1,0 +1,343 @@
+"""Rigid-body OCP nodes: the reference's DAM + integrator stacks as single
+fused action models.
+
+- :class:`RigidBodyNode` = {free | contact} forward dynamics + cost sum +
+  semi-implicit Euler (or RK4) integration.  Covers the reference's
+  DifferentialActionModelFreeFwdDynamics (free-fwddyn.hxx:62-114),
+  DifferentialActionModelContactFwdDynamics (contact-fwddyn.hxx:59-159) and
+  IntegratedActionModelEuler (euler.hxx:41-131, incl. the dt=0
+  terminal/pseudo-impulse behavior).
+- :class:`ImpulseNode` = ActionModelImpulseFwdDynamics
+  (impulse-fwddyn.hxx:57-137).
+
+Derivatives: dynamics Jacobians (Fx, Fu) come from ONE forward-mode AD pass
+through the whole fused node in tangent coordinates — mathematically the
+analytic KKT/ABA derivative chain of the reference, produced by the same
+linear-solve adjoints.  Cost Hessians use the reference's Gauss-Newton
+convention: residual Jacobians (from the same AD pass) contracted with
+activation (Ar, Arr) — NOT full AD Hessians — so iteration behavior matches
+crocoddyl.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...core.action import ActionModel, NodeDerivs
+from ...dynamics import algorithms as algo
+from ...dynamics.states import StateMultibody
+from .actuations import Actuation
+from .contacts import ContactSet, solve_contact_kkt
+from .costs import Cost, cost_nr
+
+
+class NodeCache:
+    """Per-node computed data handed to cost residuals (the reference's
+    DataCollector* composition, multibody/data/*.hpp)."""
+
+    def __init__(self, kin: algo.KinCache, forces=None, vnext=None, tau=None,
+                 a=None):
+        self.kin = kin
+        self.model = kin.model
+        self.q, self.v = kin.q, kin.v
+        self.oMi, self.vels = kin.oMi, kin.vels
+        self.forces = forces or []
+        self.vnext = vnext
+        self.tau = tau
+        self.a = a
+
+    def frame_placement(self, fid):
+        return self.kin.frame_placement(fid)
+
+    def frame_velocity(self, fid):
+        return self.kin.frame_velocity(fid)
+
+    def frame_bias_acc(self, fid):
+        return self.kin.frame_bias_acc(fid)
+
+    def frame_jacobian_local(self, fid):
+        return self.kin.frame_jacobian_local(fid)
+
+    def contact_force(self, idx):
+        return self.forces[idx]
+
+
+class CostStack(struct.PyTreeNode):
+    """Weighted sum of residual costs (multibody/costs/cost-sum.hxx)."""
+
+    items: Tuple = struct.field(default_factory=tuple)
+
+    def residuals(self, st, cache, x, u):
+        if not self.items:
+            return jnp.zeros((0,), x.dtype)
+        return jnp.concatenate(
+            [c.residual(st, cache, x, u) for c in self.items])
+
+    def slices(self, st):
+        out, i = [], 0
+        for c in self.items:
+            n = cost_nr(c, st)
+            out.append((i, n))
+            i += n
+        return out
+
+    def value(self, st, R):
+        """Total cost from the stacked residual vector."""
+        total = jnp.zeros((), R.dtype)
+        for c, (i, n) in zip(self.items, self.slices(st)):
+            a, _, _ = c.activation.calc(R[i:i + n])
+            total = total + c.active * c.weight * a
+        return total
+
+    def gauss_newton(self, st, R, Rx, Ru):
+        """Assemble (Lx, Lu, Lxx, Lxu, Luu) GN-style (cost-base pattern)."""
+        ndx, nu = Rx.shape[-1], Ru.shape[-1]
+        dt = R.dtype
+        Lx = jnp.zeros((ndx,), dt)
+        Lu = jnp.zeros((nu,), dt)
+        Lxx = jnp.zeros((ndx, ndx), dt)
+        Lxu = jnp.zeros((ndx, nu), dt)
+        Luu = jnp.zeros((nu, nu), dt)
+        for c, (i, n) in zip(self.items, self.slices(st)):
+            _, Ar, Arr = c.activation.calc(R[i:i + n])
+            w = c.active * c.weight
+            rx, ru = Rx[i:i + n], Ru[i:i + n]
+            Lx = Lx + w * (rx.T @ Ar)
+            Lu = Lu + w * (ru.T @ Ar)
+            rxw = rx * Arr[:, None]
+            Lxx = Lxx + w * (rx.T @ rxw)
+            Lxu = Lxu + w * (rx.T @ (ru * Arr[:, None]))
+            Luu = Luu + w * (ru.T @ (ru * Arr[:, None]))
+        return Lx, Lu, Lxx, Lxu, Luu
+
+
+class RigidBodyNode(ActionModel):
+    """Fused {free|contact} dynamics + costs + Euler/RK4 node."""
+
+    state_: StateMultibody
+    actuation: Actuation
+    costs: CostStack
+    contacts: Optional[ContactSet] = None
+    dt: jax.Array = None
+    armature: Optional[jax.Array] = None
+    kkt_damping: float = struct.field(pytree_node=False, default=0.0)
+    integrator: str = struct.field(pytree_node=False, default="euler")
+
+    @property
+    def state(self) -> StateMultibody:
+        return self.state_
+
+    @property
+    def nu(self) -> int:
+        return self.actuation.nu
+
+    # ------------------------------------------------------------------
+    def _dynamics(self, x, u):
+        """Continuous dynamics: returns (a (nv,), cache)."""
+        st = self.state_
+        m = st.model
+        q, v = x[:st.nq], x[st.nq:]
+        tau = self.actuation.calc(x, u)
+        kin = algo.KinCache(m, q, v)
+        if self.contacts is not None and self.contacts.contacts:
+            cache = NodeCache(kin, tau=tau)
+            Jc, a0, mask = self.contacts.calc(cache)
+            M = algo.crba(m, q)
+            if self.armature is not None:
+                M = M + jnp.diag(self.armature)
+            b = algo.nonlinear_effects(m, q, v)
+            a, lam, _ = solve_contact_kkt(M, Jc, a0, tau - b, mask,
+                                          self.kkt_damping)
+            forces = [lam[i:i + c.nc]
+                      for (i, _), c in zip(self.contacts.slices(),
+                                           self.contacts.contacts)]
+            cache.forces = forces
+            cache.a = a
+            return a, cache
+        a = algo.aba(m, q, v, tau, armature=self.armature)
+        cache = NodeCache(kin, tau=tau, a=a)
+        return a, cache
+
+    def _compute(self, x, u):
+        """(xnext, cost, R): one fused evaluation of the discrete node."""
+        st = self.state_
+        nv = st.nv
+        a, cache = self._dynamics(x, u)
+        R = self.costs.residuals(st, cache, x, u)
+        cost_rate = self.costs.value(st, R)
+        v = x[st.nq:]
+
+        dt = self.dt
+        if self.integrator == "euler":
+            dx = jnp.concatenate([v * dt + a * dt * dt, a * dt])
+            xnext_int = st.integrate(x, dx)
+        else:  # rk4 on (q, v) with frozen u
+            def f(xs):
+                a_s, _ = self._dynamics(xs, u)
+                vs = xs[st.nq:]
+                return jnp.concatenate([vs, a_s])
+            k1 = f(x)
+            k2 = f(st.integrate(x, 0.5 * dt * k1))
+            k3 = f(st.integrate(x, 0.5 * dt * k2))
+            k4 = f(st.integrate(x, dt * k3))
+            dx = dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+            xnext_int = st.integrate(x, dx)
+
+        # dt=0 ⇒ terminal / pseudo-impulse node (euler.hxx:64-74)
+        is_terminal = dt == 0.0
+        xnext = jnp.where(is_terminal, x, xnext_int)
+        cost = jnp.where(is_terminal, cost_rate, dt * cost_rate)
+        return xnext, cost, R
+
+    def calc(self, x, u):
+        xnext, cost, _ = self._compute(x, u)
+        return xnext, cost
+
+    def calc_terminal(self, x):
+        u = jnp.zeros((self.nu,), x.dtype)
+        _, cache = self._dynamics(x, u)
+        R = self.costs.residuals(self.state_, cache, x, u)
+        return self.costs.value(self.state_, R)
+
+    # ------------------------------------------------------------------
+    def _tangent_outputs(self, x, u):
+        st = self.state_
+        xnext0, _, _ = self._compute(x, u)
+
+        def g(dx, du):
+            xn, _, R = self._compute(st.integrate(x, dx), u + du)
+            return st.diff(xnext0, xn), R
+
+        z_dx = jnp.zeros((st.ndx,), x.dtype)
+        z_du = jnp.zeros((self.nu,), x.dtype)
+        (Fx, Fu), (Rx, Ru) = jax.jacfwd(g, argnums=(0, 1))(z_dx, z_du)
+        _, _, R0 = self._compute(x, u)
+        return Fx, Fu, R0, Rx, Ru
+
+    def calc_diff(self, x, u) -> NodeDerivs:
+        st = self.state_
+        Fx, Fu, R, Rx, Ru = self._tangent_outputs(x, u)
+        Lx, Lu, Lxx, Lxu, Luu = self.costs.gauss_newton(st, R, Rx, Ru)
+        scale = jnp.where(self.dt == 0.0, 1.0, self.dt)
+        return NodeDerivs(Fx=Fx, Fu=Fu, Lx=scale * Lx, Lu=scale * Lu,
+                          Lxx=scale * Lxx, Lxu=scale * Lxu, Luu=scale * Luu)
+
+    def calc_diff_terminal(self, x) -> NodeDerivs:
+        st = self.state_
+        u = jnp.zeros((self.nu,), x.dtype)
+
+        def r_of(dx):
+            xi = st.integrate(x, dx)
+            _, cache = self._dynamics(xi, u)
+            return self.costs.residuals(st, cache, xi, u)
+
+        z = jnp.zeros((st.ndx,), x.dtype)
+        Rx = jax.jacfwd(r_of)(z)
+        R = r_of(z)
+        Ru = jnp.zeros((R.shape[0], self.nu), x.dtype)
+        Lx, Lu, Lxx, Lxu, Luu = self.costs.gauss_newton(st, R, Rx, Ru)
+        dt_ = x.dtype
+        return NodeDerivs(Fx=jnp.eye(st.ndx, dtype=dt_),
+                          Fu=jnp.zeros((st.ndx, self.nu), dt_),
+                          Lx=Lx, Lu=Lu, Lxx=Lxx, Lxu=Lxu, Luu=Luu)
+
+    def quasi_static(self, x, maxiter: int = 10):
+        """Torques balancing gravity/contacts at rest (quasiStatic;
+        free-fwddyn.hxx:137-169): least-squares τ(u) = b(q, 0)."""
+        st = self.state_
+        m = st.model
+        q = x[:st.nq]
+        v0 = jnp.zeros((st.nv,), x.dtype)
+        b = algo.rnea(m, q, v0, jnp.zeros((st.nv,), x.dtype))
+        # dtau_du at u=0
+        u0 = jnp.zeros((self.nu,), x.dtype)
+        dtau_du = jax.jacfwd(lambda uu: self.actuation.calc(x, uu))(u0)
+        if self.contacts is not None and self.contacts.contacts:
+            kin = algo.KinCache(m, q, v0)
+            cache = NodeCache(kin)
+            Jc, a0, mask = self.contacts.calc(cache)
+            A = jnp.concatenate([dtau_du, Jc.T], axis=1)
+            sol = jnp.linalg.lstsq(A, b)[0]
+            return sol[:self.nu]
+        return jnp.linalg.lstsq(dtau_du, b)[0]
+
+
+class ImpulseNode(ActionModel):
+    """Discrete impact node (impulse-fwddyn.hxx:57-137): solves
+    [M Jᵀ; J 0][v⁺; −Λ] = [M v⁻; −e·J·v⁻]; xnext = (q, v⁺); nu controls are
+    ignored (Fu = 0, matching the reference's nu=0 semantics under a
+    uniform-nu problem)."""
+
+    state_: StateMultibody
+    impulses: ContactSet
+    costs: CostStack
+    nu_: int = struct.field(pytree_node=False, default=0)
+    r_coeff: jax.Array = None     # restitution (default 0)
+    kkt_damping: float = struct.field(pytree_node=False, default=0.0)
+
+    @property
+    def state(self) -> StateMultibody:
+        return self.state_
+
+    @property
+    def nu(self) -> int:
+        return self.nu_
+
+    def _compute(self, x):
+        st = self.state_
+        m = st.model
+        q, v = x[:st.nq], x[st.nq:]
+        kin = algo.KinCache(m, q, v)
+        cache = NodeCache(kin)
+        Jc, mask = self.impulses.calc_impulse(cache)
+        M = algo.crba(m, q)
+        e = self.r_coeff if self.r_coeff is not None else jnp.zeros((), x.dtype)
+        nv = st.nv
+        nc = Jc.shape[0]
+        dt = x.dtype
+        lower_right = (-self.kkt_damping) * jnp.eye(nc, dtype=dt) * mask[:, None]
+        lower_right = lower_right + jnp.diag(1.0 - mask)
+        K = jnp.block([[M, Jc.T], [Jc, lower_right]])
+        rhs = jnp.concatenate([M @ v, -e * (Jc @ v) * mask])
+        sol = jnp.linalg.solve(K, rhs)
+        vnext, Lam = sol[:nv], -sol[nv:]
+        forces = [Lam[i:i + c.nc]
+                  for (i, _), c in zip(self.impulses.slices(),
+                                       self.impulses.contacts)]
+        cache.forces = forces
+        cache.vnext = vnext
+        xnext = jnp.concatenate([q, vnext])
+        R = self.costs.residuals(st, cache, x, jnp.zeros((self.nu_,), dt))
+        cost = self.costs.value(st, R)
+        return xnext, cost, R
+
+    def calc(self, x, u):
+        xnext, cost, _ = self._compute(x)
+        return xnext, cost
+
+    def calc_terminal(self, x):
+        return self._compute(x)[1]
+
+    def calc_diff(self, x, u) -> NodeDerivs:
+        st = self.state_
+        xnext0, _, _ = self._compute(x)
+
+        def g(dx):
+            xn, _, R = self._compute(st.integrate(x, dx))
+            return st.diff(xnext0, xn), R
+
+        z = jnp.zeros((st.ndx,), x.dtype)
+        Fx, Rx = jax.jacfwd(g)(z)
+        _, _, R0 = self._compute(x)
+        nu = self.nu_
+        Ru = jnp.zeros((R0.shape[0], nu), x.dtype)
+        Lx, Lu, Lxx, Lxu, Luu = self.costs.gauss_newton(st, R0, Rx, Ru)
+        return NodeDerivs(Fx=Fx, Fu=jnp.zeros((st.ndx, nu), x.dtype),
+                          Lx=Lx, Lu=Lu, Lxx=Lxx, Lxu=Lxu, Luu=Luu)
+
+    def calc_diff_terminal(self, x) -> NodeDerivs:
+        return self.calc_diff(x, jnp.zeros((self.nu_,), x.dtype))
