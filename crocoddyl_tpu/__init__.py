@@ -10,8 +10,16 @@ and batched multi-device solving over a `jax.sharding.Mesh`.
 from .core.manifolds import StateBase, StateVector, state_vector
 from .core.action import ActionModel, NodeDerivs, stack_models, replicate_model
 from .core.problem import ShootingProblem
+from .core.mpc import circular_append, shift_warm_start
 from .core.solvers.fddp import (
     SolverSettings, Solution, Trace, solve, ddp_settings, fddp_settings,
+    box_ddp_settings, box_fddp_settings,
+)
+from .core.solvers import boxqp, kkt
+from .utils.casting import cast_floats
+from .utils.callbacks import (
+    print_trace, format_trace, SolverLog, save_solution, load_solution,
+    plot_oc_solution, plot_convergence,
 )
 
 __version__ = "0.1.0"

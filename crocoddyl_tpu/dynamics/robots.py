@@ -118,6 +118,31 @@ def quadruped_standing_q(model: RobotModel, height=0.5, dtype=np.float64):
     return jnp.asarray(q)
 
 
+def quadrotor(dtype=np.float64) -> RobotModel:
+    """Free-flyer quadrotor body (reference examples/quadrotor.py uses hector;
+    comparable mass/inertia scales).  Pair with MultiCopterBaseActuation and
+    :func:`quadrotor_tau_f`."""
+    b = ModelBuilder(dtype=dtype)
+    b.add_joint(JointType.FREE_FLYER, -1, "root", mass=1.5,
+                com=(0.0, 0.0, 0.0),
+                inertia=np.diag([0.0347563, 0.0458929, 0.0977]))
+    b.add_frame("base_link", 0)
+    return b.build()
+
+
+def quadrotor_tau_f(d_cog=0.1525, cf=6.6e-5, cm=1e-6, dtype=np.float64):
+    """(6, 4) thrust map for an X-configuration quadrotor
+    (examples/quadrotor.py:23-27): wrench = tau_f @ u_rotors."""
+    return np.array([
+        [0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0],
+        [1.0, 1.0, 1.0, 1.0],
+        [0.0, d_cog, 0.0, -d_cog],
+        [-d_cog, 0.0, d_cog, 0.0],
+        [-cm / cf, cm / cf, -cm / cf, cm / cf],
+    ], dtype)
+
+
 def biped(dtype=np.float64) -> RobotModel:
     """Simplified Talos-like biped lower body: free-flyer + 2 legs × 6 joints.
 
@@ -171,4 +196,92 @@ def biped_standing_q(model: RobotModel, height=0.88, dtype=np.float64):
         q[base + 2] = -0.4   # hip_y
         q[base + 3] = 0.8    # knee
         q[base + 4] = -0.4   # ankle_y
+    return jnp.asarray(q)
+
+def humanoid(dtype=np.float64) -> RobotModel:
+    """Simplified Talos-like humanoid: biped legs + torso + two 4-DoF arms
+    (stand-in for the reference's Talos fixture used by
+    humanoid_manipulation/taichi examples).  nq = 30, nv = 29."""
+    b = ModelBuilder(dtype=dtype)
+    base = b.add_joint(JointType.FREE_FLYER, -1, "root", mass=15.0,
+                       com=(0.0, 0.0, 0.05),
+                       inertia=np.diag([0.4, 0.4, 0.25]))
+    # legs (same recipe as biped())
+    for name, sy in (("left", 1.0), ("right", -1.0)):
+        hip_y = 0.09 * sy
+        hz = b.add_joint(JointType.REVOLUTE, base, f"{name}_hip_z",
+                         axis=(0, 0, 1), placement_p=np.array([0.0, hip_y, -0.1]),
+                         mass=1.0, com=(0, 0, 0), inertia=np.diag([0.01] * 3),
+                         q_lim=(-0.8, 0.8), effort_lim=100.0)
+        hx = b.add_joint(JointType.REVOLUTE, hz, f"{name}_hip_x",
+                         axis=(1, 0, 0), mass=1.0, com=(0, 0, 0),
+                         inertia=np.diag([0.01] * 3), q_lim=(-0.6, 0.6),
+                         effort_lim=100.0)
+        hy = b.add_joint(JointType.REVOLUTE, hx, f"{name}_hip_y",
+                         axis=(0, 1, 0), mass=3.0, com=(0.0, 0.0, -0.2),
+                         inertia=np.diag([0.04, 0.04, 0.01]),
+                         q_lim=(-2.0, 0.7), effort_lim=100.0)
+        kn = b.add_joint(JointType.REVOLUTE, hy, f"{name}_knee",
+                         axis=(0, 1, 0), placement_p=np.array([0.0, 0.0, -0.38]),
+                         mass=2.0, com=(0.0, 0.0, -0.19),
+                         inertia=np.diag([0.03, 0.03, 0.005]),
+                         q_lim=(0.0, 2.6), effort_lim=100.0)
+        ay = b.add_joint(JointType.REVOLUTE, kn, f"{name}_ankle_y",
+                         axis=(0, 1, 0), placement_p=np.array([0.0, 0.0, -0.38]),
+                         mass=0.8, com=(0.0, 0.0, -0.04),
+                         inertia=np.diag([0.005] * 3), q_lim=(-1.3, 0.8),
+                         effort_lim=100.0)
+        ax = b.add_joint(JointType.REVOLUTE, ay, f"{name}_ankle_x",
+                         axis=(1, 0, 0), mass=0.6, com=(0.02, 0.0, -0.06),
+                         inertia=np.diag([0.003] * 3), q_lim=(-0.5, 0.5),
+                         effort_lim=100.0)
+        b.add_frame(f"{name}_sole", ax,
+                    placement_p=np.array([0.02, 0.0, -0.10]))
+    # torso
+    torso = b.add_joint(JointType.REVOLUTE, base, "torso_z", axis=(0, 0, 1),
+                        placement_p=np.array([0.0, 0.0, 0.15]),
+                        mass=8.0, com=(0.0, 0.0, 0.15),
+                        inertia=np.diag([0.2, 0.2, 0.1]), q_lim=(-1.2, 1.2),
+                        effort_lim=100.0)
+    # arms: shoulder y/x/z + elbow
+    for name, sy in (("left", 1.0), ("right", -1.0)):
+        sh_y = 0.2 * sy
+        s1 = b.add_joint(JointType.REVOLUTE, torso, f"{name}_shoulder_y",
+                         axis=(0, 1, 0), placement_p=np.array([0.0, sh_y, 0.3]),
+                         mass=1.0, com=(0.0, 0.0, -0.1),
+                         inertia=np.diag([0.01] * 3), q_lim=(-2.5, 2.5),
+                         effort_lim=50.0)
+        s2 = b.add_joint(JointType.REVOLUTE, s1, f"{name}_shoulder_x",
+                         axis=(1, 0, 0), mass=0.8, com=(0.0, 0.0, -0.1),
+                         inertia=np.diag([0.008] * 3), q_lim=(-2.0, 2.0),
+                         effort_lim=50.0)
+        s3 = b.add_joint(JointType.REVOLUTE, s2, f"{name}_shoulder_z",
+                         axis=(0, 0, 1), placement_p=np.array([0.0, 0.0, -0.15]),
+                         mass=0.8, com=(0.0, 0.0, -0.08),
+                         inertia=np.diag([0.006] * 3), q_lim=(-2.0, 2.0),
+                         effort_lim=50.0)
+        el = b.add_joint(JointType.REVOLUTE, s3, f"{name}_elbow",
+                         axis=(0, 1, 0), placement_p=np.array([0.0, 0.0, -0.15]),
+                         mass=0.6, com=(0.0, 0.0, -0.12),
+                         inertia=np.diag([0.005] * 3), q_lim=(-2.3, 0.1),
+                         effort_lim=50.0)
+        b.add_frame(f"{name}_gripper", el,
+                    placement_p=np.array([0.0, 0.0, -0.25]))
+    return b.build()
+
+
+def humanoid_standing_q(model: RobotModel, height=0.88, dtype=np.float64):
+    import jax.numpy as jnp
+    q = np.zeros(model.nq, dtype)
+    q[2] = height
+    q[6] = 1.0
+    for leg in range(2):
+        base = 7 + 6 * leg
+        q[base + 2] = -0.4
+        q[base + 3] = 0.8
+        q[base + 4] = -0.4
+    # arms slightly bent (indices: 7+12 torso, then 2 arms x 4)
+    for arm in range(2):
+        base = 7 + 12 + 1 + 4 * arm
+        q[base + 3] = -0.8  # elbow
     return jnp.asarray(q)

@@ -204,6 +204,18 @@ class CostImpulseCoM(Cost):
         return Jcom @ dv
 
 
+class CostContactImpulse(CostContactForce):
+    """r = Λ − Λref on an ImpulseNode (multibody/costs/contact-impulse.hxx).
+    Identical residual to CostContactForce: the node's cache.forces hold the
+    impulse multipliers Λ at impact nodes."""
+
+
+class CostImpulseFrictionCone(CostContactFrictionCone):
+    """Friction cone on the impulse Λ
+    (multibody/costs/impulse-friction-cone.hxx); same residual machinery as
+    the contact-force cone applied to an ImpulseNode's forces."""
+
+
 def _com_vel(m, cache, v):
     # helper for CostImpulseCoM: d/dt com along velocity v (via FK linearity)
     from ...dynamics import algorithms as algo

@@ -1,0 +1,34 @@
+"""Bipedal walking (reference: examples/bipedal_walk.py; golden log
+examples/log/bipedal_walk.log)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import crocoddyl_tpu as ct
+from crocoddyl_tpu.apps.gaits import BipedGaitFactory
+from crocoddyl_tpu.dynamics import robots
+
+
+def main(n_cycles=1):
+    m = robots.biped()
+    q0 = robots.biped_standing_q(m)
+    x0 = jnp.concatenate([q0, jnp.zeros(m.nv)])
+    fac = BipedGaitFactory(m, ["right_sole", "left_sole"],
+                           default_q=np.asarray(q0))
+    sols = []
+    for _ in range(n_cycles):
+        problem = fac.walking_problem(np.asarray(x0), step_length=0.6,
+                                      step_height=0.1, dt=0.03,
+                                      step_knots=35, support_knots=10)
+        xs = jnp.tile(problem.x0[None], (problem.T + 1, 1))
+        us = problem.quasi_static(xs)
+        sol = ct.solve(problem, xs_init=xs, us_init=us,
+                       settings=ct.SolverSettings(maxiter=150))
+        ct.print_trace(sol, "bipedal_walk")
+        x0 = sol.xs[-1]
+        sols.append(sol)
+    return sols
+
+
+if __name__ == "__main__":
+    main()

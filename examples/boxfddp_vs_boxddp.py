@@ -1,0 +1,31 @@
+"""Box-FDDP vs Box-DDP comparison on a control-limited reaching task
+(reference: examples/boxfddp_vs_boxddp.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import crocoddyl_tpu as ct
+from examples.arm_manipulation import make_problem
+
+
+def main():
+    problem, fid, m = make_problem(T=60, dt=2e-3)
+    lim = np.asarray(m.effort_limit)
+    u_lb = jnp.asarray(-0.15 * lim)
+    u_ub = jnp.asarray(0.15 * lim)
+    out = {}
+    for name, settings in (
+            ("BoxDDP", ct.box_ddp_settings(maxiter=100)),
+            ("BoxFDDP", ct.box_fddp_settings(maxiter=100))):
+        sol = ct.solve(problem, settings=settings, u_lb=u_lb, u_ub=u_ub)
+        ct.print_trace(sol, name)
+        print(f"{name}: iters={int(sol.iter)} cost={float(sol.cost):.6g} "
+              f"max|u|/lim={float(jnp.max(jnp.abs(sol.us) / u_ub)):.3f}")
+        out[name] = sol
+    return out
+
+
+if __name__ == "__main__":
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()

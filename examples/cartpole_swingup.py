@@ -1,0 +1,69 @@
+"""Cartpole swing-up (reference: examples/notebooks/cartpole_swing_up.ipynb —
+user-defined action model; here built from the rigid-body stack directly)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import crocoddyl_tpu as ct
+from crocoddyl_tpu.dynamics import robots
+from crocoddyl_tpu.dynamics.states import StateMultibody
+from crocoddyl_tpu.models.multibody.activations import (
+    ActivationQuad, ActivationWeightedQuad,
+)
+from crocoddyl_tpu.models.multibody.actuations import Actuation
+from crocoddyl_tpu.models.multibody.costs import (
+    CostControl, CostFrameTranslation, CostState,
+)
+from crocoddyl_tpu.models.multibody.nodes import CostStack, RigidBodyNode
+from flax import struct
+
+
+class CartActuation(Actuation):
+    """Force on the cart only (pole unactuated) — the notebook's u → [u, 0]."""
+
+    @property
+    def nu(self) -> int:
+        return 1
+
+    def calc(self, x, u):
+        return jnp.concatenate([u, jnp.zeros((self.nv - 1,), u.dtype)])
+
+
+def make_problem(T=50, dt=5e-2):
+    m = robots.cartpole()
+    st = StateMultibody(model=m)
+    tip = m.frame_id("pole_tip")
+    x0 = jnp.zeros(m.nq + m.nv).at[1].set(jnp.pi)  # pole down
+
+    def node(w_goal, dt_):
+        costs = CostStack(items=(
+            # tip above the cart = upright pole
+            CostFrameTranslation(fid=tip, pref=jnp.asarray([0.0, 0.0, 1.0]),
+                                 activation=ActivationQuad(),
+                                 weight=jnp.asarray(w_goal),
+                                 active=jnp.asarray(1.0)),
+            CostState(xref=jnp.zeros(m.nq + m.nv),
+                      activation=ActivationWeightedQuad(
+                          weights=jnp.asarray([1.0, 0.0, 0.1, 0.1])),
+                      weight=jnp.asarray(1e-2), active=jnp.asarray(1.0)),
+            CostControl(uref=jnp.zeros(1), activation=ActivationQuad(),
+                        weight=jnp.asarray(1e-3), active=jnp.asarray(1.0)),
+        ))
+        return RigidBodyNode(state_=st, actuation=CartActuation(nv=m.nv),
+                             costs=costs, contacts=None, dt=jnp.asarray(dt_))
+
+    running = ct.stack_models([node(1.0, dt)] * T)
+    terminal = node(2e2, 0.0)
+    return ct.ShootingProblem(x0=x0, running=running, terminal=terminal)
+
+
+def main():
+    problem = make_problem()
+    sol = ct.solve(problem, settings=ct.SolverSettings(maxiter=200))
+    ct.print_trace(sol, "cartpole_swingup")
+    print("final state:", np.asarray(sol.xs[-1]))
+    return sol
+
+
+if __name__ == "__main__":
+    main()

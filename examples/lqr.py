@@ -1,0 +1,22 @@
+"""LQR sanity problem (reference: benchmark/lqr-optctrl.cpp and the LQR
+action models in core/actions/lqr.hpp)."""
+
+import jax
+import jax.numpy as jnp
+
+import crocoddyl_tpu as ct
+from crocoddyl_tpu.models.lqr import lqr_model
+
+
+def main(nx=37, nu=12, T=100):
+    m = lqr_model(nx, nu)
+    problem = ct.ShootingProblem(
+        x0=jnp.ones((nx,)), running=ct.replicate_model(m, T), terminal=m)
+    sol = ct.solve(problem, settings=ct.ddp_settings(maxiter=20))
+    ct.print_trace(sol, "lqr")
+    print("converged:", bool(sol.converged), "iters:", int(sol.iter))
+    return sol
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""Quadrupedal walking with control bounds via Box-FDDP
+(reference: examples/quadrupedal_walk_ubound.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import crocoddyl_tpu as ct
+from crocoddyl_tpu.apps.gaits import QuadrupedGaitFactory
+from crocoddyl_tpu.dynamics import robots
+
+
+def main():
+    m = robots.quadruped()
+    q0 = robots.quadruped_standing_q(m)
+    x0 = jnp.concatenate([q0, jnp.zeros(m.nv)])
+    fac = QuadrupedGaitFactory(
+        m, ["LF_FOOT", "RF_FOOT", "LH_FOOT", "RH_FOOT"],
+        default_q=np.asarray(q0))
+    problem = fac.walking_problem(np.asarray(x0), step_length=0.25,
+                                  step_height=0.15, dt=1e-2,
+                                  step_knots=25, support_knots=2)
+    lim = np.asarray(m.effort_limit)[6:]
+    xs = jnp.tile(problem.x0[None], (problem.T + 1, 1))
+    us = problem.quasi_static(xs)
+    sol = ct.solve(problem, xs_init=xs, us_init=us,
+                   settings=ct.box_fddp_settings(maxiter=150),
+                   u_lb=jnp.asarray(-lim), u_ub=jnp.asarray(lim))
+    ct.print_trace(sol, "quadrupedal_walk_ubound")
+    print("converged:", bool(sol.converged), " cost:", float(sol.cost),
+          " max|u|:", float(jnp.max(jnp.abs(sol.us))))
+    return sol
+
+
+if __name__ == "__main__":
+    main()

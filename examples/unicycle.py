@@ -1,0 +1,24 @@
+"""Unicycle point-stabilization (reference: examples/unicycle_towards_origin.py,
+golden log examples/log/unicycle_towards_origin.log)."""
+
+import jax
+import jax.numpy as jnp
+
+import crocoddyl_tpu as ct
+from crocoddyl_tpu.models.unicycle import UnicycleModel
+
+
+def main():
+    model = UnicycleModel()
+    T = 20
+    problem = ct.ShootingProblem(
+        x0=jnp.asarray([-1.0, -1.0, 1.0]),
+        running=ct.replicate_model(model, T), terminal=model)
+    sol = ct.solve(problem, settings=ct.SolverSettings(maxiter=100))
+    ct.print_trace(sol, "unicycle")
+    print("converged:", bool(sol.converged), " cost:", float(sol.cost))
+    return sol
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Gait-factory tests (reference: examples/quadrupedal_gaits.py,
+bipedal_walk.py and the golden logs in examples/log/*.log — walking converges
+in ~13 FDDP iterations; here problems are scaled down for CI runtime)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import crocoddyl_tpu as ct
+from crocoddyl_tpu.dynamics import robots
+from crocoddyl_tpu.apps.gaits import BipedGaitFactory, QuadrupedGaitFactory
+
+
+@pytest.fixture(scope="module")
+def quad():
+    m = robots.quadruped()
+    q0 = robots.quadruped_standing_q(m)
+    x0 = jnp.concatenate([q0, jnp.zeros(m.nv)])
+    fac = QuadrupedGaitFactory(m, ["LF_FOOT", "RF_FOOT", "LH_FOOT", "RH_FOOT"],
+                               default_q=np.asarray(q0))
+    return m, x0, fac
+
+
+def test_walking_problem_structure(quad):
+    m, x0, fac = quad
+    prob = fac.walking_problem(x0, 0.25, 0.15, 1e-2, step_knots=25,
+                               support_knots=2)
+    # T = 2*supportKnots + 4*(stepKnots+1) = 108, the reference benchmark size
+    # (benchmark/quadrupedal-gaits-optctrl.cpp:36-41)
+    assert prob.T == 108
+    assert prob.nu == m.nv - 6
+    # dt leaves: 4 switch knots with dt=0
+    assert int(np.sum(np.asarray(prob.running.dt) == 0.0)) == 4
+
+
+def test_gait_variants_build(quad):
+    m, x0, fac = quad
+    for name in ("trotting_problem", "pacing_problem", "bounding_problem"):
+        prob = getattr(fac, name)(x0, 0.15, 0.1, 1e-2, step_knots=4,
+                                  support_knots=1)
+        # 2 phases x (stepKnots + 1 switch) + 2 x supportKnots
+        assert prob.T == 2 * 5 + 2
+    prob = fac.com_problem(x0, 0.1, 1e-2, num_knots=3)
+    assert prob.T == 8
+    prob = fac.jumping_problem(x0, 0.1, [0.0, 0.0, 0.0], 1e-2,
+                               ground_knots=2, flying_knots=2)
+    assert prob.T == 2 + 2 + 2 + 1 + 2
+
+
+def test_quadruped_walk_solves(quad):
+    """Small walking OCP converges with FDDP (mirrors the golden-log
+    behavior: full steps, handful of iterations)."""
+    m, x0, fac = quad
+    prob = fac.walking_problem(x0, 0.1, 0.05, 1e-2, step_knots=4,
+                               support_knots=1)
+    assert prob.T == 2 * 1 + 4 * 5
+    xs = jnp.tile(x0[None], (prob.T + 1, 1))
+    us = prob.quasi_static(xs)
+    sol = ct.solve(prob, xs_init=xs, us_init=us,
+                   settings=ct.SolverSettings(maxiter=60, record_trace=False))
+    assert bool(sol.converged)
+    assert float(sol.cost) < float(jnp.sum(prob.calc(xs, us)[1]))
+    assert np.all(np.isfinite(np.asarray(sol.xs)))
+
+
+def test_biped_walk_solves():
+    m = robots.biped()
+    q0 = robots.biped_standing_q(m)
+    x0 = jnp.concatenate([q0, jnp.zeros(m.nv)])
+    fac = BipedGaitFactory(m, ["right_sole", "left_sole"],
+                           default_q=np.asarray(q0))
+    prob = fac.walking_problem(x0, 0.1, 0.05, 1e-2, step_knots=4,
+                               support_knots=1)
+    xs = jnp.tile(x0[None], (prob.T + 1, 1))
+    us = prob.quasi_static(xs)
+    cost0 = float(jnp.sum(prob.calc(xs, us)[1]))
+    sol = ct.solve(prob, xs_init=xs, us_init=us,
+                   settings=ct.SolverSettings(maxiter=40, record_trace=False))
+    assert np.all(np.isfinite(np.asarray(sol.xs)))
+    assert float(sol.cost) < cost0
