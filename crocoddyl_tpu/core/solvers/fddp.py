@@ -59,6 +59,12 @@ class SolverSettings(struct.PyTreeNode):
     regmin: float = struct.field(pytree_node=False, default=1e-9)
     regmax: float = struct.field(pytree_node=False, default=1e9)
     n_alphas: int = struct.field(pytree_node=False, default=10)
+    # True: evaluate all alphas at once (vmap) and pick the first acceptable —
+    # maximal parallelism, 10x rollout FLOPs.  False: sequential early-exit
+    # backtracking exactly like the reference (ddp.cpp:78-94) via
+    # lax.while_loop — the usual choice on TPU where the accepted step is
+    # almost always among the first alphas.
+    parallel_linesearch: bool = struct.field(pytree_node=False, default=True)
     record_trace: bool = struct.field(pytree_node=False, default=True)
     # Box-constrained variants (SolverBoxDDP/BoxFDDP; box-ddp.cpp:16-28):
     # per-node BoxQP over du bounds, clamped forward pass, th_stop 5e-5.
@@ -433,12 +439,30 @@ def solve(problem: ShootingProblem,
             accept = accept & ~failed
             return xs_try, us_try, cost_try, accept, dV, dVexp, d0, d1
 
-        xs_t, us_t, cost_t, acc, dV, dVexp, d0s, d1s = jax.vmap(trial)(alphas)
-        any_acc = acc.any()
-        idx = jnp.argmax(acc)  # first (largest) accepted α
-        steplength = jnp.where(any_acc, alphas[idx], alphas[-1])
+        if s.parallel_linesearch:
+            xs_t, us_t, cost_t, acc, dV, dVexp, d0s, d1s = jax.vmap(trial)(alphas)
+            any_acc = acc.any()
+            idx = jnp.argmax(acc)  # first (largest) accepted α
+            steplength = jnp.where(any_acc, alphas[idx], alphas[-1])
+            pick = lambda arr: arr[idx]
+        else:
+            # sequential backtracking with early exit (ddp.cpp:78-94)
+            def ls_cond(c):
+                i, acc, _ = c
+                return (i < s.n_alphas) & ~acc
 
-        pick = lambda arr: arr[idx]
+            def ls_body(c):
+                i, _, _ = c
+                out = trial(alphas[i])
+                return (i + 1, out[3], out)
+
+            out0 = trial(alphas[0])
+            i_fin, any_acc, out = jax.lax.while_loop(
+                ls_cond, ls_body, (jnp.ones((), jnp.int32), out0[3], out0))
+            xs_t, us_t, cost_t, _, dV, dVexp, d0s, d1s = out
+            steplength = alphas[jnp.minimum(i_fin - 1, s.n_alphas - 1)]
+            pick = lambda arr: arr
+
         xs_new = jnp.where(any_acc, pick(xs_t), st_.xs)
         us_new = jnp.where(any_acc, pick(us_t), st_.us)
         cost_new = jnp.where(any_acc, pick(cost_t), st_.cost)

@@ -25,7 +25,7 @@ class Transform(NamedTuple):
 
     def compose(self, other: "Transform") -> "Transform":
         """A_X_B ∘ B_X_C = A_X_C."""
-        return Transform(self.R @ other.R,
+        return Transform(jnp.einsum("...ij,...jk->...ik", self.R, other.R),
                          self.p + jnp.einsum("...ij,...j->...i", self.R, other.p))
 
     def inverse(self) -> "Transform":
@@ -100,7 +100,7 @@ class Inertia(NamedTuple):
         cx = skew(self.c)
         m = self.m[..., None, None]
         eye = jnp.eye(3, dtype=self.c.dtype)
-        I_bar = self.I_c - m * (cx @ cx)
+        I_bar = self.I_c - m * jnp.einsum("...ij,...jk->...ik", cx, cx)
         top = jnp.concatenate([m * eye, -m * cx], axis=-1)
         bot = jnp.concatenate([m * cx, I_bar], axis=-1)
         return jnp.concatenate([top, bot], axis=-2)
@@ -110,7 +110,7 @@ class Inertia(NamedTuple):
         vl, w = v[..., :3], v[..., 3:]
         m = self.m[..., None]
         cx = skew(self.c)
-        cxcx = cx @ cx
+        cxcx = jnp.einsum("...ij,...jk->...ik", cx, cx)
         fl = m * (vl - jnp.cross(self.c, w))
         fa = (m * jnp.cross(self.c, vl)
               + jnp.einsum("...ij,...j->...i", self.I_c, w)

@@ -123,17 +123,25 @@ def solve_contact_kkt(M, Jc, a0_neg_rhs, tau_minus_b, mask, damping=0.0):
     """Solve [M Jᵀ; J −damping·I][a; −λ] = [τ−b; −a0]
     (pinocchio::forwardDynamics used in contact-fwddyn.hxx:77-99).
 
-    Inactive rows (mask 0) get a unit diagonal so λ=0 there exactly.
-    Returns (a, lam (nc,), K (dense KKT matrix)).
+    TPU-native path: Schur complement on the (PD) mass matrix via two
+    Cholesky factorizations instead of a pivoted LU of the indefinite KKT —
+    batched `cholesky`/`triangular_solve` map onto the TPU without the
+    sequential pivoting of LU.  Inactive rows (mask 0) get a unit diagonal in
+    the Schur complement so λ=0 there exactly.  Returns (a, lam (nc,),
+    chol(M)).
     """
     dt = M.dtype
-    nv = M.shape[-1]
     nc = Jc.shape[0]
-    lower_right = (-damping) * jnp.eye(nc, dtype=dt) * mask[:, None]
-    lower_right = lower_right + jnp.diag(1.0 - mask)
-    K = jnp.block([[M, Jc.T], [Jc, lower_right]])
-    rhs = jnp.concatenate([tau_minus_b, -a0_neg_rhs * mask])
-    sol = jnp.linalg.solve(K, rhs)
-    a = sol[:nv]
-    lam = -sol[nv:]
-    return a, lam, K
+    Lm = jnp.linalg.cholesky(M)
+    # X = M⁻¹ [Jᵀ | τ−b]
+    rhs = jnp.concatenate([Jc.T, tau_minus_b[:, None]], axis=1)
+    X = jax.scipy.linalg.cho_solve((Lm, True), rhs)
+    MinvJT, a_free = X[:, :nc], X[:, nc]
+    # S λ = −(J·M⁻¹(τ−b) + a0)   with S = J M⁻¹ Jᵀ + damping·I (masked)
+    S = Jc @ MinvJT + damping * jnp.eye(nc, dtype=dt)
+    S = S * (mask[:, None] * mask[None, :]) + jnp.diag(1.0 - mask)
+    b_lam = -(Jc @ a_free + a0_neg_rhs) * mask
+    Ls = jnp.linalg.cholesky(S)
+    lam = jax.scipy.linalg.cho_solve((Ls, True), b_lam)
+    a = a_free + MinvJT @ lam
+    return a, lam, Lm

@@ -77,12 +77,7 @@ class CostCoM(Cost):
     cref: jax.Array = None
 
     def residual(self, st, cache, x, u):
-        from ...dynamics import algorithms as algo
-        com = jnp.zeros((3,), x.dtype)
-        m = cache.model
-        for i in range(m.njoints):
-            com = com + m.mass[i] * cache.oMi[i].act_point(m.com[i])
-        return com / jnp.sum(m.mass) - self.cref
+        return cache.kin.com() - self.cref
 
 
 class CostFramePlacement(Cost):
@@ -174,20 +169,7 @@ class CostCentroidalMomentum(Cost):
     href: jax.Array = None
 
     def residual(self, st, cache, x, u):
-        from ...dynamics import algorithms as algo
-        m = cache.model
-        com = jnp.zeros((3,), x.dtype)
-        for i in range(m.njoints):
-            com = com + m.mass[i] * cache.oMi[i].act_point(m.com[i])
-        com = com / jnp.sum(m.mass)
-        h = jnp.zeros((6,), x.dtype)
-        from ...dynamics.spatial import Inertia
-        for i in range(m.njoints):
-            I = Inertia(m=m.mass[i], c=m.com[i], I_c=m.inertia[i])
-            h = h + cache.oMi[i].act_force(I.mul_motion(cache.vels[i]))
-        lin, ang = h[:3], h[3:]
-        h_com = jnp.concatenate([lin, ang - jnp.cross(com, lin)])
-        return h_com - self.href
+        return cache.kin.centroidal_momentum() - self.href
 
 
 class CostImpulseCoM(Cost):

@@ -143,13 +143,12 @@ class RigidBodyNode(ActionModel):
         q, v = x[:st.nq], x[st.nq:]
         tau = self.actuation.calc(x, u)
         kin = algo.KinCache(m, q, v)
+        # one shared kinematic sweep feeds M, b, contacts and costs
+        M = kin.mass_matrix(self.armature)
+        b = kin.bias_forces()
         if self.contacts is not None and self.contacts.contacts:
             cache = NodeCache(kin, tau=tau)
             Jc, a0, mask = self.contacts.calc(cache)
-            M = algo.crba(m, q)
-            if self.armature is not None:
-                M = M + jnp.diag(self.armature)
-            b = algo.nonlinear_effects(m, q, v)
             a, lam, _ = solve_contact_kkt(M, Jc, a0, tau - b, mask,
                                           self.kkt_damping)
             forces = [lam[i:i + c.nc]
@@ -158,7 +157,8 @@ class RigidBodyNode(ActionModel):
             cache.forces = forces
             cache.a = a
             return a, cache
-        a = algo.aba(m, q, v, tau, armature=self.armature)
+        L = jnp.linalg.cholesky(M)
+        a = jax.scipy.linalg.cho_solve((L, True), tau - b)
         cache = NodeCache(kin, tau=tau, a=a)
         return a, cache
 
@@ -256,14 +256,20 @@ class RigidBodyNode(ActionModel):
         # dtau_du at u=0
         u0 = jnp.zeros((self.nu,), x.dtype)
         dtau_du = jax.jacfwd(lambda uu: self.actuation.calc(x, uu))(u0)
+        def ls_solve(A, rhs):
+            # least squares via normal equations + tiny Tikhonov (Cholesky is
+            # TPU-friendly; lstsq would lower to SVD, which is not)
+            AtA = A.T @ A + 1e-9 * jnp.eye(A.shape[1], dtype=A.dtype)
+            L = jnp.linalg.cholesky(AtA)
+            return jax.scipy.linalg.cho_solve((L, True), A.T @ rhs)
+
         if self.contacts is not None and self.contacts.contacts:
             kin = algo.KinCache(m, q, v0)
             cache = NodeCache(kin)
             Jc, a0, mask = self.contacts.calc(cache)
             A = jnp.concatenate([dtau_du, Jc.T], axis=1)
-            sol = jnp.linalg.lstsq(A, b)[0]
-            return sol[:self.nu]
-        return jnp.linalg.lstsq(dtau_du, b)[0]
+            return ls_solve(A, b)[:self.nu]
+        return ls_solve(dtau_du, b)
 
 
 class ImpulseNode(ActionModel):
@@ -294,17 +300,21 @@ class ImpulseNode(ActionModel):
         kin = algo.KinCache(m, q, v)
         cache = NodeCache(kin)
         Jc, mask = self.impulses.calc_impulse(cache)
-        M = algo.crba(m, q)
+        M = kin.mass_matrix()
         e = self.r_coeff if self.r_coeff is not None else jnp.zeros((), x.dtype)
-        nv = st.nv
         nc = Jc.shape[0]
         dt = x.dtype
-        lower_right = (-self.kkt_damping) * jnp.eye(nc, dtype=dt) * mask[:, None]
-        lower_right = lower_right + jnp.diag(1.0 - mask)
-        K = jnp.block([[M, Jc.T], [Jc, lower_right]])
-        rhs = jnp.concatenate([M @ v, -e * (Jc @ v) * mask])
-        sol = jnp.linalg.solve(K, rhs)
-        vnext, Lam = sol[:nv], -sol[nv:]
+        # Schur-complement Cholesky solve of the impulse KKT (TPU-friendly;
+        # see contacts.solve_contact_kkt):  S Λ = −(1+e)·J v⁻ with
+        # S = J M⁻¹ Jᵀ + damping·I, then v⁺ = v⁻ + M⁻¹ Jᵀ Λ.
+        Lm = jnp.linalg.cholesky(M)
+        MinvJT = jax.scipy.linalg.cho_solve((Lm, True), Jc.T)
+        S = Jc @ MinvJT + self.kkt_damping * jnp.eye(nc, dtype=dt)
+        S = S * (mask[:, None] * mask[None, :]) + jnp.diag(1.0 - mask)
+        b_lam = -(1.0 + e) * (Jc @ v) * mask
+        Ls = jnp.linalg.cholesky(S)
+        Lam = jax.scipy.linalg.cho_solve((Ls, True), b_lam)
+        vnext = v + MinvJT @ Lam
         forces = [Lam[i:i + c.nc]
                   for (i, _), c in zip(self.impulses.slices(),
                                        self.impulses.contacts)]

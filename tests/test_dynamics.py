@@ -132,8 +132,9 @@ def test_com_weighted_average():
     com = algo.center_of_mass(m, q)
     # independent: average of body com positions via FK
     oMi, _ = algo.forward_kinematics(m, q)
-    p1 = oMi[0].act_point(m.com[0])
-    p2 = oMi[1].act_point(m.com[1])
+    # oMi is a stacked Transform: leaves have a leading (njoints,) axis
+    p1 = oMi.act_point(m.com)[0]
+    p2 = oMi.act_point(m.com)[1]
     ref = (m.mass[0] * p1 + m.mass[1] * p2) / (m.mass[0] + m.mass[1])
     np.testing.assert_allclose(np.asarray(com), np.asarray(ref), atol=1e-12)
 
