@@ -257,10 +257,23 @@ class RigidBodyNode(ActionModel):
         u0 = jnp.zeros((self.nu,), x.dtype)
         dtau_du = jax.jacfwd(lambda uu: self.actuation.calc(x, uu))(u0)
         def ls_solve(A, rhs):
-            # least squares via normal equations + tiny Tikhonov (Cholesky is
-            # TPU-friendly; lstsq would lower to SVD, which is not)
-            AtA = A.T @ A + 1e-9 * jnp.eye(A.shape[1], dtype=A.dtype)
-            L = jnp.linalg.cholesky(AtA)
+            # least squares via Cholesky'd normal equations (TPU-friendly;
+            # lstsq would lower to SVD).  Wide systems (contact case: columns
+            # for inactive contacts are exactly zero, so AtA is singular) use
+            # the min-norm dual form x = Aᵀ(AAᵀ)⁻¹rhs whose (nv,nv) Gram
+            # matrix is full rank.  Regularization is dtype-scaled: a fixed
+            # 1e-9 vanishes in float32.
+            eps = 1e-9 if A.dtype == jnp.float64 else 1e-5
+            if A.shape[0] < A.shape[1]:       # wide: min-norm dual
+                G = A @ A.T
+                lam = eps * (jnp.trace(G) / G.shape[0] + 1.0)
+                L = jnp.linalg.cholesky(G + lam * jnp.eye(G.shape[0],
+                                                          dtype=A.dtype))
+                return A.T @ jax.scipy.linalg.cho_solve((L, True), rhs)
+            G = A.T @ A
+            lam = eps * (jnp.trace(G) / G.shape[0] + 1.0)
+            L = jnp.linalg.cholesky(G + lam * jnp.eye(G.shape[0],
+                                                      dtype=A.dtype))
             return jax.scipy.linalg.cho_solve((L, True), A.T @ rhs)
 
         if self.contacts is not None and self.contacts.contacts:
