@@ -183,10 +183,24 @@ def _backward_pass(derivs, dterm, fs, xreg, ureg, box_args=None):
         Quu = Quu + ureg * jnp.eye(Quu.shape[-1], dtype=dt)
         Qu = d.Lu + d.Fu.T @ Vx_n
 
-        chol = jnp.linalg.cholesky(Quu)
+        # Jacobi-equilibrated Cholesky: solve (D⁻¹QuuD⁻¹)y = D⁻¹b with
+        # D = √diag(Quu).  Equilibration leaves exact arithmetic unchanged
+        # but keeps the factorization well-scaled in float32, where the
+        # raw Quu (cost weights up to 1e6-1e7 in the gait problems) spans
+        # too many orders of magnitude for a stable factorization.
+        dscale = jnp.sqrt(jnp.maximum(jnp.diag(Quu), 1e-30))
+        Quu_eq = Quu / dscale[:, None] / dscale[None, :]
+        chol = jnp.linalg.cholesky(Quu_eq)
         failed = failed | jnp.isnan(chol).any()
-        K = jax.scipy.linalg.cho_solve((chol, True), Qxu.T)
-        kvec = jax.scipy.linalg.cho_solve((chol, True), Qu)
+
+        def chol_solve(b):
+            y = jax.scipy.linalg.cho_solve(
+                (chol, True), b / dscale[..., :, None] if b.ndim == 2
+                else b / dscale)
+            return y / dscale[..., :, None] if b.ndim == 2 else y / dscale
+
+        K = chol_solve(Qxu.T)
+        kvec = chol_solve(Qu)
 
         if box_args is not None:
             # BoxQP over the step bounds, warm-started with the previous

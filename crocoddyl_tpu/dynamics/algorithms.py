@@ -39,7 +39,8 @@ import jax.numpy as jnp
 
 from . import lie
 from .model import JointType, RobotModel
-from .spatial import Inertia, Transform, cross_force, cross_motion, skew
+from .spatial import (Inertia, Transform, cross_force, cross_motion, mm, mv,
+                      skew)
 
 
 # ---------------------------------------------------------------------------
@@ -126,15 +127,18 @@ def _stacked_setup(model: RobotModel, q, v):
     vJ = jnp.zeros((nj, 6), dt)
     if has_ff:
         Rff = lie.quat_to_rot(q[3:7])
-        R_pl = R_pl.at[0].set(model.jp_R[0] @ Rff)
-        p_pl = p_pl.at[0].set(model.jp_p[0] + model.jp_R[0] @ q[:3])
+        R_pl = R_pl.at[0].set(mm(model.jp_R[0], Rff))
+        p_pl = p_pl.at[0].set(model.jp_p[0] + mv(model.jp_R[0], q[:3]))
         vJ = vJ.at[0].set(v[:6])
     if one_ids:
         oi = jnp.asarray(one_ids)
         Rtree = model.jp_R[oi]
         ptree = model.jp_p[oi]
-        R_pl = R_pl.at[oi].set(jnp.einsum("kij,kjl->kil", Rtree, R_J))
-        p_pl = p_pl.at[oi].set(ptree + jnp.einsum("kij,kj->ki", Rtree, p_J))
+        # plain matmul (not einsum): einsum's dot_general with stacked batch
+        # dims trips an XLA simplification-pass verifier bug under
+        # vmap∘vmap∘jacfwd (observed on both the CPU and TPU backends)
+        R_pl = R_pl.at[oi].set(mm(Rtree, R_J))
+        p_pl = p_pl.at[oi].set(ptree + mv(Rtree, p_J))
         S6 = S6.at[oi].set(S6_1)
         vJ = vJ.at[oi].set(vJ_1)
     if not has_ff and not one_ids:
@@ -170,8 +174,8 @@ class KinData:
             idx = jnp.asarray(lvl)
             par = jnp.asarray([model.parents[i] for i in lvl])
             Rp, pp = oR[par], op_[par]
-            oR = oR.at[idx].set(jnp.einsum("...kij,...kjl->...kil", Rp, R[idx]))
-            op_ = op_.at[idx].set(pp + jnp.einsum("kij,kj->ki", Rp, p[idx]))
+            oR = oR.at[idx].set(mm(Rp, R[idx]))
+            op_ = op_.at[idx].set(pp + mv(Rp, p[idx]))
             Xup_l = Transform(Xup.R[idx], Xup.p[idx])
             v_l = Xup_l.act_motion(vel[par]) + vJ[idx]
             vel = vel.at[idx].set(v_l)
@@ -196,19 +200,22 @@ class KinData:
         c_w = self.oMi.act_point(model.com)           # (nj, 3) com positions
         R_w = oR
         self.I_w = Inertia(m=model.mass, c=c_w,
-                           I_c=jnp.einsum("...kij,...kjl,...kml->...kim", R_w,
-                                          model.inertia, R_w))
+                           I_c=mm(mm(R_w, model.inertia),
+                                  jnp.swapaxes(R_w, -1, -2)))
 
     # -- joint-space dynamics quantities ----------------------------------
     def joint_jacobians_world(self):
         """(nj, 6, nv): world body Jacobian of every joint."""
-        return jnp.einsum("vc,iv->icv", self.Jcols, self.amask)
+        return self.Jcols.T[None, :, :] * self.amask[:, None, :]
 
     def mass_matrix(self, armature=None):
         """M = Σ_i J_iᵀ I_i J_i (kinetic-energy identity; replaces CRBA)."""
         Jw = self.joint_jacobians_world()
         Iw = self.I_w.to_matrix()                     # (nj, 6, 6)
-        M = jnp.einsum("icv,icd,idw->vw", Jw, Iw, Jw)
+        # (i,c,v),(i,c,d)->(i,d,v); then (i,d,v),(i,d,w)->(v,w); mul-reduce
+        # keeps every contraction off dot_general (see spatial.py docstring)
+        T1 = (Jw[:, :, None, :] * Iw[:, :, :, None]).sum(1)
+        M = (T1[:, :, :, None] * Jw[:, :, None, :]).sum((0, 1))
         if armature is not None:
             M = M + jnp.diag(armature)
         return M
@@ -226,7 +233,7 @@ class KinData:
         if fext_local is not None:
             f_w = f_w - self.oMi.act_force(fext_local)
         Jw = self.joint_jacobians_world()
-        return jnp.einsum("icv,ic->v", Jw, f_w)
+        return (Jw * f_w[:, :, None]).sum((0, 1))
 
     # -- frame quantities --------------------------------------------------
     def _fX(self, fid: int) -> Transform:
@@ -258,7 +265,7 @@ class KinData:
     # -- global quantities -------------------------------------------------
     def com(self):
         m = self.model.mass
-        return jnp.einsum("i,ik->k", m, self.I_w.c) / jnp.sum(m)
+        return (m[:, None] * self.I_w.c).sum(0) / jnp.sum(m)
 
     def centroidal_momentum(self):
         h_w = self.oMi.act_force(
@@ -394,7 +401,7 @@ def rnea(model: RobotModel, q, v, a, fext: Optional[jnp.ndarray] = None):
     tau = jnp.zeros((nv,), dt)
     for lvl in reversed(levels):
         idx = jnp.asarray(lvl)
-        ti = jnp.einsum("kc,kc->k", S6[idx], f[idx])
+        ti = (S6[idx] * f[idx]).sum(-1)
         tau = tau.at[jnp.asarray([v_off[j] for j in lvl])].set(ti)
         par_py = [model.parents[i] for i in lvl]
         if par_py[0] != -1:

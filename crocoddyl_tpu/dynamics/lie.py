@@ -22,6 +22,24 @@ import jax.numpy as jnp
 _EPS2 = 1e-14   # θ² threshold for Taylor branches
 
 
+def mm(A, B):
+    """Batched matmul without dot_general (broadcast-multiply-reduce):
+    tiny 3×3 products belong on the VPU, and dot_general with stacked vmap
+    batch dims trips an XLA simplification verifier bug."""
+    return (A[..., :, :, None] * B[..., None, :, :]).sum(-2)
+
+
+def mv(A, x):
+    """Batched matvec (..., m, k) x (..., k) -> (..., m) without dot."""
+    return (A * x[..., None, :]).sum(-1)
+
+
+def mtv(A, x):
+    """Batched matvec with the transpose: Aᵀ x."""
+    return (A * x[..., :, None]).sum(-2)
+
+
+
 def skew(v):
     z = jnp.zeros_like(v[..., 0])
     return jnp.stack([
@@ -146,7 +164,7 @@ def exp3(w):
                   (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
     W = skew(w)
     eye = jnp.eye(3, dtype=w.dtype)
-    return eye + s[..., None, None] * W + c[..., None, None] * (W @ W)
+    return eye + s[..., None, None] * W + c[..., None, None] * mm(W, W)
 
 
 def log3(R):
@@ -164,7 +182,7 @@ def jac_so3_right(w):
                    (theta - jnp.sin(theta)) / (t2 * theta))
     W = skew(w)
     eye = jnp.eye(3, dtype=w.dtype)
-    return eye - c1[..., None, None] * W + c2[..., None, None] * (W @ W)
+    return eye - c1[..., None, None] * W + c2[..., None, None] * mm(W, W)
 
 
 def jac_so3_right_inv(w):
@@ -175,7 +193,7 @@ def jac_so3_right_inv(w):
                   / (2.0 * theta * jnp.sin(theta)))
     W = skew(w)
     eye = jnp.eye(3, dtype=w.dtype)
-    return eye + 0.5 * W + c[..., None, None] * (W @ W)
+    return eye + 0.5 * W + c[..., None, None] * mm(W, W)
 
 
 # ---------------------------------------------------------------------------
@@ -191,7 +209,7 @@ def se3_v_matrix(w):
                    (theta - jnp.sin(theta)) / (t2 * theta))
     W = skew(w)
     eye = jnp.eye(3, dtype=w.dtype)
-    return eye + c1[..., None, None] * W + c2[..., None, None] * (W @ W)
+    return eye + c1[..., None, None] * W + c2[..., None, None] * mm(W, W)
 
 
 def se3_v_inv(w):
@@ -202,19 +220,19 @@ def se3_v_inv(w):
                   / (2.0 * theta * jnp.sin(theta)))
     W = skew(w)
     eye = jnp.eye(3, dtype=w.dtype)
-    return eye - 0.5 * W + c[..., None, None] * (W @ W)
+    return eye - 0.5 * W + c[..., None, None] * mm(W, W)
 
 
 def exp6(xi):
     """SE(3) exponential of [v; w] → (R, p)."""
     v, w = xi[..., :3], xi[..., 3:]
     R = exp3(w)
-    p = jnp.einsum("...ij,...j->...i", se3_v_matrix(w), v)
+    p = mv(se3_v_matrix(w), v)
     return R, p
 
 
 def log6(R, p):
     """[v; w] = log of SE(3) element (R, p)."""
     w = log3(R)
-    v = jnp.einsum("...ij,...j->...i", se3_v_inv(w), p)
+    v = mv(se3_v_inv(w), p)
     return jnp.concatenate([v, w], axis=-1)

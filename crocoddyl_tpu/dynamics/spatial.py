@@ -5,8 +5,12 @@ A spatial transform is (R, p): rotation ``A_R_B`` plus origin of B expressed
 in A.  Motions/forces are 6-vectors [lin; ang].  Spatial inertia is stored as
 (mass m, com lever c, rotational inertia about the com I_c).
 
-Everything is batched: leading axes broadcast; all ops are einsum-based and
-fuse well under XLA.
+Everything is batched: leading axes broadcast.  Small (3×3) products are
+deliberately written as broadcast-multiply-reduce (``mm``/``mv``) rather
+than ``einsum``/``@``: tiny matmuls belong on the VPU, not the MXU, and
+dot_general with several stacked vmap batch dimensions trips an XLA
+simplification-pass verifier bug (observed on both CPU and TPU backends
+under vmap∘vmap∘jacfwd).
 """
 
 from __future__ import annotations
@@ -15,7 +19,9 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .lie import skew
+from .lie import mm, mtv, mv, skew
+
+
 
 
 class Transform(NamedTuple):
@@ -25,45 +31,42 @@ class Transform(NamedTuple):
 
     def compose(self, other: "Transform") -> "Transform":
         """A_X_B ∘ B_X_C = A_X_C."""
-        return Transform(jnp.einsum("...ij,...jk->...ik", self.R, other.R),
-                         self.p + jnp.einsum("...ij,...j->...i", self.R, other.p))
+        return Transform(mm(self.R, other.R), self.p + mv(self.R, other.p))
 
     def inverse(self) -> "Transform":
         RT = jnp.swapaxes(self.R, -1, -2)
-        return Transform(RT, -jnp.einsum("...ij,...j->...i", RT, self.p))
+        return Transform(RT, -mv(RT, self.p))
 
     def act_motion(self, m) -> jnp.ndarray:
         """Motion expressed in B → expressed in A."""
         lin, ang = m[..., :3], m[..., 3:]
-        Rl = jnp.einsum("...ij,...j->...i", self.R, lin)
-        Ra = jnp.einsum("...ij,...j->...i", self.R, ang)
+        Rl = mv(self.R, lin)
+        Ra = mv(self.R, ang)
         return jnp.concatenate([Rl + jnp.cross(self.p, Ra), Ra], axis=-1)
 
     def act_motion_inv(self, m) -> jnp.ndarray:
         """Motion expressed in A → expressed in B."""
         lin, ang = m[..., :3], m[..., 3:]
-        RT = jnp.swapaxes(self.R, -1, -2)
-        a = jnp.einsum("...ij,...j->...i", RT, ang)
-        l = jnp.einsum("...ij,...j->...i", RT, lin - jnp.cross(self.p, ang))
+        a = mtv(self.R, ang)
+        l = mtv(self.R, lin - jnp.cross(self.p, ang))
         return jnp.concatenate([l, a], axis=-1)
 
     def act_force(self, f) -> jnp.ndarray:
         """Force expressed in B → expressed in A."""
         lin, ang = f[..., :3], f[..., 3:]
-        Rl = jnp.einsum("...ij,...j->...i", self.R, lin)
-        Ra = jnp.einsum("...ij,...j->...i", self.R, ang)
+        Rl = mv(self.R, lin)
+        Ra = mv(self.R, ang)
         return jnp.concatenate([Rl, Ra + jnp.cross(self.p, Rl)], axis=-1)
 
     def act_force_inv(self, f) -> jnp.ndarray:
         """Force expressed in A → expressed in B."""
         lin, ang = f[..., :3], f[..., 3:]
-        RT = jnp.swapaxes(self.R, -1, -2)
-        l = jnp.einsum("...ij,...j->...i", RT, lin)
-        a = jnp.einsum("...ij,...j->...i", RT, ang - jnp.cross(self.p, lin))
+        l = mtv(self.R, lin)
+        a = mtv(self.R, ang - jnp.cross(self.p, lin))
         return jnp.concatenate([l, a], axis=-1)
 
     def act_point(self, x) -> jnp.ndarray:
-        return self.p + jnp.einsum("...ij,...j->...i", self.R, x)
+        return self.p + mv(self.R, x)
 
 
 def transform_identity(dtype=jnp.float64, batch=()):
@@ -100,7 +103,7 @@ class Inertia(NamedTuple):
         cx = skew(self.c)
         m = self.m[..., None, None]
         eye = jnp.eye(3, dtype=self.c.dtype)
-        I_bar = self.I_c - m * jnp.einsum("...ij,...jk->...ik", cx, cx)
+        I_bar = self.I_c - m * mm(cx, cx)
         top = jnp.concatenate([m * eye, -m * cx], axis=-1)
         bot = jnp.concatenate([m * cx, I_bar], axis=-1)
         return jnp.concatenate([top, bot], axis=-2)
@@ -110,9 +113,8 @@ class Inertia(NamedTuple):
         vl, w = v[..., :3], v[..., 3:]
         m = self.m[..., None]
         cx = skew(self.c)
-        cxcx = jnp.einsum("...ij,...jk->...ik", cx, cx)
         fl = m * (vl - jnp.cross(self.c, w))
         fa = (m * jnp.cross(self.c, vl)
-              + jnp.einsum("...ij,...j->...i", self.I_c, w)
-              - m * jnp.einsum("...ij,...j->...i", cxcx, w))
+              + mv(self.I_c, w)
+              - m * mv(cx, mv(cx, w)))
         return jnp.concatenate([fl, fa], axis=-1)

@@ -111,7 +111,7 @@ class CostFrameRotation(Cost):
 
     def residual(self, st, cache, x, u):
         R = cache.frame_placement(self.fid).R
-        return lie.log3(jnp.swapaxes(self.ref_R, -1, -2) @ R)
+        return lie.log3(lie.mm(jnp.swapaxes(self.ref_R, -1, -2), R))
 
 
 class CostFrameVelocity(Cost):
@@ -146,7 +146,7 @@ class CostContactFrictionCone(Cost):
 
     def residual(self, st, cache, x, u):
         f = cache.contact_force(self.contact_idx)
-        return self.cone.A @ f[:3]
+        return lie.mv(self.cone.A, f[:3])
 
 
 class CostContactCoP(Cost):
@@ -160,7 +160,7 @@ class CostContactCoP(Cost):
         f = cache.contact_force(self.contact_idx)
         f6 = f if f.shape[-1] == 6 else jnp.concatenate(
             [f, jnp.zeros((3,), f.dtype)])
-        return self.support.A @ f6
+        return lie.mv(self.support.A, f6)
 
 
 class CostCentroidalMomentum(Cost):
@@ -183,7 +183,7 @@ class CostImpulseCoM(Cost):
         from ...dynamics import algorithms as algo
         Jcom = jax.jacfwd(
             lambda vv: _com_vel(m, cache, vv))(jnp.zeros_like(dv))
-        return Jcom @ dv
+        return lie.mv(Jcom, dv)
 
 
 class CostContactImpulse(CostContactForce):
