@@ -60,7 +60,7 @@ def main():
     from crocoddyl_tpu.core.solvers.fddp import SolverSettings, solve
 
     which = os.environ.get("BENCH_PROBLEM", "quadruped")
-    B = int(os.environ.get("BENCH_B", "32"))
+    B = int(os.environ.get("BENCH_B", "128"))
     maxiter = int(os.environ.get("BENCH_MAXITER", "1"))
     n_rep = int(os.environ.get("BENCH_REPS", "3"))
     dtype = jnp.float32
@@ -71,7 +71,11 @@ def main():
         prob, x0 = unicycle_problem(dtype)
     T = prob.T
 
-    settings = SolverSettings(maxiter=maxiter, record_trace=False)
+    # Sequential early-exit line search: warm-started MPC steps accept the
+    # first step length, so the 10-alpha parallel rollout would be ~10x
+    # wasted FLOPs here (ddp.cpp:78-94 semantics).
+    settings = SolverSettings(maxiter=maxiter, record_trace=False,
+                              parallel_linesearch=False)
 
     # Warm start: quasi-static controls from the default stance, the
     # MPC-replan configuration (solver warm-started at the solution

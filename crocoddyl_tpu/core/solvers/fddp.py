@@ -65,6 +65,10 @@ class SolverSettings(struct.PyTreeNode):
     # lax.while_loop — the usual choice on TPU where the accepted step is
     # almost always among the first alphas.
     parallel_linesearch: bool = struct.field(pytree_node=False, default=True)
+    # Horizon-parallel Riccati backward pass (associative scan, O(log T)
+    # depth — see solvers/parallel_riccati.py).  Latency lever for long
+    # horizons / small batches; float32-only on TPU (element combines LU).
+    parallel_riccati: bool = struct.field(pytree_node=False, default=False)
     record_trace: bool = struct.field(pytree_node=False, default=True)
     # Box-constrained variants (SolverBoxDDP/BoxFDDP; box-ddp.cpp:16-28):
     # per-node BoxQP over du bounds, clamped forward pass, th_stop 5e-5.
@@ -389,6 +393,9 @@ def solve(problem: ShootingProblem,
         def bp(xreg, ureg):
             box_args = ((st_.us, u_lb, u_ub, st_.k, st_.feasible, qp_kw)
                         if s.box else None)
+            if s.parallel_riccati and not s.box:
+                from .parallel_riccati import backward_pass_parallel
+                return backward_pass_parallel(derivs, dterm, fs, xreg, ureg)
             return _backward_pass(derivs, dterm, fs, xreg, ureg, box_args)
 
         Vx, Vxx, Qu, kvec, K, Quuk, failed = bp(st_.xreg, st_.ureg)
