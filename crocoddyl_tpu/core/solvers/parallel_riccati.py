@@ -62,7 +62,11 @@ def _combine(e_later: _Elem, e_earlier: _Elem) -> _Elem:
 
     Argument order matches `associative_scan` over the REVERSED element
     array (suffix products): the scan's left operand is the block closer to
-    the terminal.  Formulas: Särkkä & García-Fernández 2021, Lemma 9.
+    the terminal.  Formulas: Särkkä & García-Fernández 2021, Lemma 9, with
+    the η-sign convention adapted to value functions.  The paper's lemma is
+    stated for messages exp(−½xᵀJx + ηᵀx); our elements carry value
+    functions V = ½xᵀJx + ηᵀx (η_msg = −η_val), which flips the sign of the
+    two cross terms (C₁η₂ and J₂b₁) relative to the paper.
     """
     A1, b1, C1, eta1, J1 = e_earlier
     A2, b2, C2, eta2, J2 = e_later
@@ -72,13 +76,13 @@ def _combine(e_later: _Elem, e_earlier: _Elem) -> _Elem:
     M = eye + C1 @ J2                       # (..., n, n), nonsymmetric
     A = A2 @ jnp.linalg.solve(M, A1)
     b = (A2 @ jnp.linalg.solve(
-        M, (b1 + (C1 @ eta2[..., None])[..., 0])[..., None]))[..., 0] + b2
+        M, (b1 - (C1 @ eta2[..., None])[..., 0])[..., None]))[..., 0] + b2
     C = A2 @ jnp.linalg.solve(M, C1) @ jnp.swapaxes(A2, -1, -2) + C2
     C = 0.5 * (C + jnp.swapaxes(C, -1, -2))
 
     N = eye + J2 @ C1                       # (..., n, n), nonsymmetric
     A1T = jnp.swapaxes(A1, -1, -2)
-    rhs_eta = eta2 - (J2 @ b1[..., None])[..., 0]
+    rhs_eta = eta2 + (J2 @ b1[..., None])[..., 0]
     eta = (A1T @ jnp.linalg.solve(N, rhs_eta[..., None]))[..., 0] + eta1
     J = A1T @ jnp.linalg.solve(N, J2 @ A1) + J1
     J = 0.5 * (J + jnp.swapaxes(J, -1, -2))
