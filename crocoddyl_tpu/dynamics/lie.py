@@ -236,3 +236,78 @@ def log6(R, p):
     w = log3(R)
     v = mv(se3_v_inv(w), p)
     return jnp.concatenate([v, w], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# SE(3) Jacobians (closed form) — replace the AD-default jdiff/jintegrate of
+# StateBase for multibody states (reference: pinocchio dIntegrate/dDifference
+# used by multibody/states/multibody.hxx:94-144).
+# ---------------------------------------------------------------------------
+
+def se3_adjoint(R, p):
+    """Ad(M): [v';w'] = Ad·[v;w] maps body-frame motions through M
+    (tangent order [linear; angular]): Ad = [[R, p^R], [0, R]]."""
+    pR = mm(skew(p), R)
+    z = jnp.zeros_like(R)
+    top = jnp.concatenate([R, pR], axis=-1)
+    bot = jnp.concatenate([z, R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _se3_Q_left(v, w):
+    """Q block of the SE(3) LEFT Jacobian (Barfoot, State Estimation for
+    Robotics, eq. 7.86; tangent [ρ; φ] = our [v; w]), Taylor-safe."""
+    theta2, theta, small = _theta(w)
+    t2 = jnp.where(small, 1.0, theta2)
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    # (θ−sinθ)/θ³ ;  (1 − θ²/2 − cosθ)/θ⁴ ;  (θ − sinθ − θ³/6)/θ⁵
+    c1 = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                   (theta - sin_t) / (t2 * theta))
+    m2 = jnp.where(small, -1.0 / 24.0 + theta2 / 720.0,
+                   (1.0 - 0.5 * theta2 - cos_t) / (t2 * t2))
+    m3 = jnp.where(small, -1.0 / 120.0 + theta2 / 5040.0,
+                   (theta - sin_t - theta2 * theta / 6.0)
+                   / (t2 * t2 * theta))
+    V = skew(v)
+    W = skew(w)
+    WV, VW = mm(W, V), mm(V, W)
+    WVW = mm(WV, W)
+    WWV, VWW = mm(W, WV), mm(VW, W)
+    WVWW = mm(WVW, W)
+    WWVW = mm(W, WVW)
+    return (0.5 * V
+            + c1[..., None, None] * (WV + VW + WVW)
+            - m2[..., None, None] * (WWV + VWW - 3.0 * WVW)
+            - 0.5 * (m2 - 3.0 * m3)[..., None, None] * (WVWW + WWVW))
+
+
+def jac_se3_left(xi):
+    """SE(3) left Jacobian Jl6: exp6(ξ+δ) ≈ exp6(Jl6·δ)·exp6(ξ)."""
+    v, w = xi[..., :3], xi[..., 3:]
+    Jl = se3_v_matrix(w)                     # = Jl3(w)
+    Q = _se3_Q_left(v, w)
+    z = jnp.zeros_like(Jl)
+    top = jnp.concatenate([Jl, Q], axis=-1)
+    bot = jnp.concatenate([z, Jl], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def jac_se3_right(xi):
+    """SE(3) right Jacobian Jr6: exp6(ξ+δ) ≈ exp6(ξ)·exp6(Jr6·δ);
+    Jr6(ξ) = Jl6(−ξ)."""
+    return jac_se3_left(-xi)
+
+
+def jac_se3_right_inv(xi):
+    """Jr6(ξ)⁻¹ = [[Jr3⁻¹, −Jr3⁻¹·Q_r·Jr3⁻¹], [0, Jr3⁻¹]].
+
+    This is Jlog6 at D = exp6(ξ): log6(D·exp6(δ)) ≈ ξ + Jr6⁻¹(ξ)·δ."""
+    v, w = xi[..., :3], xi[..., 3:]
+    Jri = jac_so3_right_inv(w)               # = Jl3(−w)⁻¹
+    Qr = _se3_Q_left(-v, -w)
+    QJ = mm(Qr, Jri)
+    top_r = -mm(Jri, QJ)
+    z = jnp.zeros_like(Jri)
+    top = jnp.concatenate([Jri, top_r], axis=-1)
+    bot = jnp.concatenate([z, Jri], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)

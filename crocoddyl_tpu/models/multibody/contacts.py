@@ -119,17 +119,7 @@ class ContactSet(struct.PyTreeNode):
         return jnp.concatenate(Js, axis=0), jnp.concatenate(masks, axis=0)
 
 
-def solve_contact_kkt(M, Jc, a0_neg_rhs, tau_minus_b, mask, damping=0.0):
-    """Solve [M Jᵀ; J −damping·I][a; −λ] = [τ−b; −a0]
-    (pinocchio::forwardDynamics used in contact-fwddyn.hxx:77-99).
-
-    TPU-native path: Schur complement on the (PD) mass matrix via two
-    Cholesky factorizations instead of a pivoted LU of the indefinite KKT —
-    batched `cholesky`/`triangular_solve` map onto the TPU without the
-    sequential pivoting of LU.  Inactive rows (mask 0) get a unit diagonal in
-    the Schur complement so λ=0 there exactly.  Returns (a, lam (nc,),
-    chol(M)).
-    """
+def _contact_kkt_raw(M, Jc, a0_neg_rhs, tau_minus_b, mask, damping):
     dt = M.dtype
     nc = Jc.shape[0]
     Lm = jnp.linalg.cholesky(M)
@@ -144,4 +134,78 @@ def solve_contact_kkt(M, Jc, a0_neg_rhs, tau_minus_b, mask, damping=0.0):
     Ls = jnp.linalg.cholesky(S)
     lam = jax.scipy.linalg.cho_solve((Ls, True), b_lam)
     a = a_free + MinvJT @ lam
+    return a, lam, Lm, Ls, MinvJT
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.custom_jvp, nondiff_argnums=(5,))
+def solve_contact_kkt(M, Jc, a0_neg_rhs, tau_minus_b, mask, damping=0.0):
+    """Solve [M Jᵀ; J −damping·I][a; −λ] = [τ−b; −a0]
+    (pinocchio::forwardDynamics used in contact-fwddyn.hxx:77-99).
+
+    TPU-native path: Schur complement on the (PD) mass matrix via two
+    Cholesky factorizations instead of a pivoted LU of the indefinite KKT —
+    batched `cholesky`/`triangular_solve` map onto the TPU without the
+    sequential pivoting of LU.  Inactive rows (mask 0) get a unit diagonal in
+    the Schur complement so λ=0 there exactly.  Returns (a, lam (nc,),
+    chol(M)).
+
+    Differentiation is IMPLICIT (custom JVP): the tangent solves the same
+    KKT with the primal factorizations reused — the TPU analogue of the
+    reference's getKKTContactDynamicMatrixInverse derivative path
+    (contact-fwddyn.hxx:126-159).  Under jacfwd the tangent RHS is batched
+    over the 48-ish directions while the factorizations stay unbatched.
+    """
+    a, lam, Lm, _, _ = _contact_kkt_raw(M, Jc, a0_neg_rhs, tau_minus_b,
+                                        mask, damping)
     return a, lam, Lm
+
+
+@solve_contact_kkt.defjvp
+def _solve_contact_kkt_jvp(damping, primals, tangents):
+    M, Jc, a0, taumb, mask = primals
+    dM, dJc, da0, dtaumb, _ = tangents
+    a, lam, Lm, Ls, MinvJT = _contact_kkt_raw(M, Jc, a0, taumb, mask, damping)
+
+    def z(t, like):
+        return (jnp.zeros_like(like)
+                if isinstance(t, jax.custom_derivatives.SymbolicZero) else t)
+
+    dM, dJc = z(dM, M), z(dJc, Jc)
+    da0, dtaumb = z(da0, a0), z(dtaumb, taumb)
+    # KKT differential at fixed (a, λ):
+    #   M·da − Jᵀ·dλ = r1 := dτ−db − dM·a + dJᵀ·λ
+    #   J·da + damping·dλ = r2 := −da0 − dJ·a   ⇒   S·dλ = r2 − J·M⁻¹·r1
+    r1 = dtaumb - dM @ a + dJc.T @ lam
+    r2 = -(da0 + dJc @ a)
+    Minv_r1 = jax.scipy.linalg.cho_solve((Lm, True), r1)
+    dlam = jax.scipy.linalg.cho_solve((Ls, True), (r2 - Jc @ Minv_r1) * mask)
+    da = Minv_r1 + MinvJT @ dlam
+    return (a, lam, Lm), (da, dlam, jnp.zeros_like(Lm))
+
+
+@jax.custom_jvp
+def pd_solve(M, rhs):
+    """a = M⁻¹·rhs for PD M via Cholesky, with an implicit-diff JVP that
+    reuses the factorization: da = M⁻¹(drhs − dM·a) — one vector backsolve
+    per tangent instead of the Cholesky-differential path."""
+    L = jnp.linalg.cholesky(M)
+    return jax.scipy.linalg.cho_solve((L, True), rhs)
+
+
+@pd_solve.defjvp
+def _pd_solve_jvp(primals, tangents):
+    M, rhs = primals
+    dM, drhs = tangents
+    L = jnp.linalg.cholesky(M)
+    a = jax.scipy.linalg.cho_solve((L, True), rhs)
+
+    def z(t, like):
+        return (jnp.zeros_like(like)
+                if isinstance(t, jax.custom_derivatives.SymbolicZero) else t)
+
+    da = jax.scipy.linalg.cho_solve(
+        (L, True), z(drhs, rhs) - z(dM, M) @ a)
+    return a, da

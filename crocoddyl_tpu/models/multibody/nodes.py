@@ -31,7 +31,7 @@ from ...core.action import ActionModel, NodeDerivs
 from ...dynamics import algorithms as algo
 from ...dynamics.states import StateMultibody
 from .actuations import Actuation
-from .contacts import ContactSet, solve_contact_kkt
+from .contacts import ContactSet, pd_solve, solve_contact_kkt
 from .costs import Cost, cost_nr
 
 
@@ -157,8 +157,7 @@ class RigidBodyNode(ActionModel):
             cache.forces = forces
             cache.a = a
             return a, cache
-        L = jnp.linalg.cholesky(M)
-        a = jax.scipy.linalg.cho_solve((L, True), tau - b)
+        a = pd_solve(M, tau - b)
         cache = NodeCache(kin, tau=tau, a=a)
         return a, cache
 
@@ -205,18 +204,76 @@ class RigidBodyNode(ActionModel):
 
     # ------------------------------------------------------------------
     def _tangent_outputs(self, x, u):
+        """(Fx, Fu, R, Rx, Ru) — ONE forward-mode linearization.
+
+        The node is differentiated in two stages (matching the reference's
+        structure, euler.hxx:83-131 over contact-fwddyn.hxx:107-159, instead
+        of one AD pass over the whole fused node):
+
+        1. ``jacfwd`` of the CONTINUOUS quantities only — (a, R) as a
+           function of tangent (dx, du).  The contact-KKT / free-dynamics
+           solves inside carry implicit-diff custom JVPs, so the tangent
+           pass reuses the primal factorizations; the primal comes back as
+           the aux output (no re-evaluation).
+        2. Closed-form Euler chain rule through the manifold retraction:
+           xnext = x ⊕ dstep with dstep = [v·dt + a·dt²; a·dt], so
+           Fx = Jint_x + Jint_dx · d(dstep)/ddx with the closed-form
+           free-flyer Jintegrate blocks (states.py) — AD never sees
+           integrate/diff/quaternions on the output side.
+
+        The dt=0 terminal/pseudo-impulse node (xnext = x) gives Fx = I,
+        Fu = 0 exactly (euler.hxx:64-74).
+        """
         st = self.state_
-        xnext0, _, _ = self._compute(x, u)
+        nv, ndx, nu = st.nv, st.ndx, self.nu
+        dtt = x.dtype
 
-        def g(dx, du):
-            xn, _, R = self._compute(st.integrate(x, dx), u + du)
-            return st.diff(xnext0, xn), R
+        if self.integrator != "euler":
+            # generic fused-AD path (RK4): one jacfwd, primal via aux
+            xnext0, _, _ = self._compute(x, u)
 
-        z_dx = jnp.zeros((st.ndx,), x.dtype)
-        z_du = jnp.zeros((self.nu,), x.dtype)
-        (Fx, Fu), (Rx, Ru) = jax.jacfwd(g, argnums=(0, 1))(z_dx, z_du)
-        _, _, R0 = self._compute(x, u)
-        return Fx, Fu, R0, Rx, Ru
+            def g(dx, du):
+                xn, _, R = self._compute(st.integrate(x, dx), u + du)
+                return (st.diff(xnext0, xn), R), R
+
+            z_dx = jnp.zeros((ndx,), dtt)
+            z_du = jnp.zeros((nu,), dtt)
+            ((Fx, Fu), (Rx, Ru)), R0 = jax.jacfwd(
+                g, argnums=(0, 1), has_aux=True)(z_dx, z_du)
+            return Fx, Fu, R0, Rx, Ru
+
+        def f(dx, du):
+            xi = st.integrate(x, dx)
+            ui = u + du
+            a, cache = self._dynamics(xi, ui)
+            R = self.costs.residuals(st, cache, xi, ui)
+            return (a, R), (a, R)
+
+        z_dx = jnp.zeros((ndx,), dtt)
+        z_du = jnp.zeros((nu,), dtt)
+        (da, dR), (a, R) = jax.jacfwd(f, argnums=(0, 1), has_aux=True)(
+            z_dx, z_du)
+        da_dx, da_du = da          # (nv, ndx), (nv, nu)
+        Rx, Ru = dR                # (nr, ndx), (nr, nu)
+
+        v = x[st.nq:]
+        dt = self.dt
+        dstep = jnp.concatenate([v * dt + a * dt * dt, a * dt])
+        Jx, Jdx = st.jintegrate(x, dstep)
+
+        # d(dstep)/ddx: dv/ddx = [0 I] exactly (integrate adds dv linearly)
+        dv_ddx = jnp.concatenate(
+            [jnp.zeros((nv, nv), dtt), jnp.eye(nv, dtype=dtt)], axis=1)
+        dstep_dx = jnp.concatenate(
+            [dt * dv_ddx + dt * dt * da_dx, dt * da_dx], axis=0)
+        dstep_du = jnp.concatenate([dt * dt * da_du, dt * da_du], axis=0)
+        Fx_int = Jx + Jdx @ dstep_dx
+        Fu_int = Jdx @ dstep_du
+
+        is_term = dt == 0.0
+        Fx = jnp.where(is_term, jnp.eye(ndx, dtype=dtt), Fx_int)
+        Fu = jnp.where(is_term, jnp.zeros((ndx, nu), dtt), Fu_int)
+        return Fx, Fu, R, Rx, Ru
 
     def calc_diff(self, x, u) -> NodeDerivs:
         st = self.state_
