@@ -15,13 +15,22 @@ stacks the T knots into a single leading-T-axis model, so one jitted FDDP
 program covers the entire gait schedule, and the per-node evaluation vmaps
 over T (the OpenMP-loop analogue, shooting.hxx:143-178).
 
-Foot-switch knots use the reference's pseudo-impulse recipe (dt=0 node with
-high-weight foot-track + foot-velocity costs, quadruped.py:456-521); true
-ImpulseNode switches are available via the segmented problem API.
+Foot-switch knots use the reference's pseudo-impulse recipe by default (dt=0
+node with high-weight foot-track + foot-velocity costs, quadruped.py:456-521);
+``pseudo_impulse=False`` switches to TRUE ImpulseNode knots
+(quadruped.py:523-554 createImpulseModel) via the segmented-problem API:
+consecutive runs of same-type nodes are stacked into segments and the
+ShootingProblem evaluates them as consecutive vmaps/scans.
+
+CoP support costs (the fork's thesis contribution,
+RH5/utils/walkProblem.py:393-398: CostModelContactCoPPosition with a [0,∞)
+quadratic barrier, weight 1e3 per supporting foot) are enabled by setting
+``cop_box = (length, width)`` on a 6D-contact factory (biped).
 """
 
 from __future__ import annotations
 
+from itertools import groupby
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -39,11 +48,11 @@ from ..models.multibody.activations import (
 from ..models.multibody.actuations import FloatingBaseActuation
 from ..models.multibody.contacts import Contact3D, Contact6D, ContactSet
 from ..models.multibody.costs import (
-    CostCoM, CostContactFrictionCone, CostControl, CostFramePlacement,
-    CostFrameTranslation, CostFrameVelocity, CostState,
+    CostCoM, CostContactCoP, CostContactFrictionCone, CostControl,
+    CostFramePlacement, CostFrameTranslation, CostFrameVelocity, CostState,
 )
-from ..models.multibody.frames import friction_cone
-from ..models.multibody.nodes import CostStack, RigidBodyNode
+from ..models.multibody.frames import cop_support, friction_cone
+from ..models.multibody.nodes import CostStack, ImpulseNode, RigidBodyNode
 
 
 def _fk_positions(model: RobotModel, q, fids):
@@ -68,6 +77,8 @@ class _LocomotionFactory:
     w_ctrl = 1e-1
     w_ctrl_switch = 1e-3
     w_state_bounds = 0.0     # quadruped.py:446 uses 1e3; biped has none
+    w_cop = 1e3              # RH5/utils/walkProblem.py:393-398
+    cop_box = None           # (length, width) → enable CoP costs (6D only)
 
     def __init__(self, model: RobotModel, foot_names: Sequence[str],
                  mu: float = 0.7, default_q=None):
@@ -146,6 +157,7 @@ class _LocomotionFactory:
 
         contacts = []
         cone_costs = []
+        cop_costs = []
         track_costs = []
         vel_costs = []
         foot_pos0 = self._default_foot_pos
@@ -159,6 +171,16 @@ class _LocomotionFactory:
                                                       ub=self.cone.ub),
                 weight=jnp.asarray(self.w_friction),
                 active=jnp.asarray(1.0 if i in support else 0.0)))
+            if self.cop_box is not None and self.contact_dim == 6:
+                # CoP-inside-support barrier A·f ≥ 0 (the thesis cost;
+                # contact-cop-position.hxx:47-88 + walkProblem.py:393-398)
+                sup = cop_support(*self.cop_box)
+                cop_costs.append(CostContactCoP(
+                    contact_idx=i, support=sup,
+                    activation=ActivationQuadraticBarrier(
+                        lb=jnp.zeros(4), ub=jnp.full((4,), np.inf)),
+                    weight=jnp.asarray(self.w_cop),
+                    active=jnp.asarray(1.0 if i in support else 0.0)))
             tracked = i in foot_tasks
             ref = foot_tasks.get(i, np.zeros(3))
             w_track = self.w_foot_track_switch if switch else self.w_foot_track
@@ -177,7 +199,7 @@ class _LocomotionFactory:
                     activation=ActivationQuad(),
                     weight=jnp.asarray(self.w_com),
                     active=jnp.asarray(1.0 if com_task is not None else 0.0)),
-            *track_costs, *vel_costs, *cone_costs,
+            *track_costs, *vel_costs, *cone_costs, *cop_costs,
             CostState(xref=jnp.asarray(self.default_state),
                       activation=ActivationWeightedQuad(
                           weights=jnp.asarray(sw ** 2)),
@@ -208,10 +230,43 @@ class _LocomotionFactory:
             dt=jnp.asarray(float(dt)))
 
     # ------------------------------------------------------------------
+    def _make_impulse_node(self, support, foot_tasks):
+        """TRUE impulse switch knot (quadruped.py:523-554 createImpulseModel):
+        ImpulseFwdDynamics over the landing feet, foot-track w=1e7 on the
+        swing feet + switch-weight state regularization."""
+        foot_tasks = foot_tasks or {}
+        support = set(support)
+        st = self.state
+        nu = self.model.nv - 6
+        impulses = []
+        track_costs = []
+        for i, fid in enumerate(self.feet):
+            c = self._make_contact(fid, self._default_foot_pos[i])
+            impulses.append(c.replace(active=jnp.asarray(
+                1.0 if i in support else 0.0)))
+            tracked = i in foot_tasks
+            ref = foot_tasks.get(i, np.zeros(3))
+            track_costs.append(self._make_foot_track_cost(
+                fid, ref, self.w_foot_track_switch, 1.0 if tracked else 0.0))
+        sw = self._state_weights_switch()
+        items = (*track_costs,
+                 CostState(xref=jnp.asarray(self.default_state),
+                           activation=ActivationWeightedQuad(
+                               weights=jnp.asarray(sw ** 2)),
+                           weight=jnp.asarray(self.w_state_reg),
+                           active=jnp.asarray(1.0)))
+        return ImpulseNode(state_=st, impulses=ContactSet(
+            contacts=tuple(impulses)), costs=CostStack(items=items),
+            nu_=nu, r_coeff=jnp.zeros(()))
+
+    # ------------------------------------------------------------------
     def _footstep_models(self, com_pos0, feet_pos0, step_length, step_height,
-                         dt, num_knots, support, swing) -> List:
-        """Swing-phase knots + pseudo-impulse switch
-        (quadruped.py:359-405 createFootstepModels; identical in biped.py)."""
+                         dt, num_knots, support, swing,
+                         pseudo_impulse=True) -> List:
+        """Swing-phase knots + foot switch (quadruped.py:359-405
+        createFootstepModels; identical in biped.py).  The switch knot is a
+        pseudo-impulse (dt=0, boosted weights) by default, or a true
+        ImpulseNode with ``pseudo_impulse=False``."""
         num_legs = len(support) + len(swing)
         com_pct = float(len(swing)) / num_legs
         models = []
@@ -235,16 +290,26 @@ class _LocomotionFactory:
             models.append(self._make_node(dt, support, com_task=com_task,
                                           foot_tasks=tasks))
             last_tasks = tasks
-        models.append(self._make_node(0.0, support, foot_tasks=last_tasks,
-                                      switch=True))
+        if pseudo_impulse:
+            models.append(self._make_node(0.0, support, foot_tasks=last_tasks,
+                                          switch=True))
+        else:
+            # landing feet join the support set at the impact
+            land = set(support) | set(swing)
+            models.append(self._make_impulse_node(land, last_tasks))
         com_pos0 += np.array([step_length * com_pct, 0., 0.])
         for p in feet_pos0:
             p += np.array([step_length, 0., 0.])
         return models
 
     def _problem(self, x0, models) -> ShootingProblem:
-        return ShootingProblem(x0=jnp.asarray(x0),
-                               running=stack_models(models),
+        """Stack the per-knot model list; heterogeneous node types become
+        consecutive same-type segments (core/problem.py)."""
+        segments = tuple(
+            stack_models(list(grp))
+            for _, grp in groupby(models, key=type))
+        running = segments[0] if len(segments) == 1 else segments
+        return ShootingProblem(x0=jnp.asarray(x0), running=running,
                                terminal=models[-1])
 
     def _com_ref(self, q0):
@@ -310,7 +375,8 @@ class QuadrupedGaitFactory(_LocomotionFactory):
     w_state_bounds = 1e3
 
     def walking_problem(self, x0, step_length, step_height, dt,
-                        step_knots, support_knots) -> ShootingProblem:
+                        step_knots, support_knots,
+                        pseudo_impulse=True) -> ShootingProblem:
         """One walking cycle: 2×[double support + 2 footsteps]
         (quadruped.py:111-160); footfall order RH, RF, LH, LF."""
         x0 = np.asarray(x0)
@@ -322,17 +388,17 @@ class QuadrupedGaitFactory(_LocomotionFactory):
         models = [self._make_node(dt, allfeet) for _ in range(support_knots)]
         models += self._footstep_models(com_ref, [rh], first * step_length,
                                         step_height, dt, step_knots,
-                                        [LF, RF, LH], [RH])
+                                        [LF, RF, LH], [RH], pseudo_impulse)
         models += self._footstep_models(com_ref, [rf], first * step_length,
                                         step_height, dt, step_knots,
-                                        [LF, LH, RH], [RF])
+                                        [LF, LH, RH], [RF], pseudo_impulse)
         models += [self._make_node(dt, allfeet) for _ in range(support_knots)]
         models += self._footstep_models(com_ref, [lh], step_length,
                                         step_height, dt, step_knots,
-                                        [LF, RF, RH], [LH])
+                                        [LF, RF, RH], [LH], pseudo_impulse)
         models += self._footstep_models(com_ref, [lf], step_length,
                                         step_height, dt, step_knots,
-                                        [RF, LH, RH], [LF])
+                                        [RF, LH, RH], [LF], pseudo_impulse)
         return self._problem(x0, models)
 
     def trotting_problem(self, x0, step_length, step_height, dt,
@@ -413,7 +479,8 @@ class BipedGaitFactory(_LocomotionFactory):
                         + [10.] * nv)
 
     def walking_problem(self, x0, step_length, step_height, dt,
-                        step_knots, support_knots) -> ShootingProblem:
+                        step_knots, support_knots,
+                        pseudo_impulse=True) -> ShootingProblem:
         """biped.py:25-65: [double support + right step + double support +
         left step]."""
         x0 = np.asarray(x0)
@@ -424,8 +491,10 @@ class BipedGaitFactory(_LocomotionFactory):
         both = (R, L)
         models = [self._make_node(dt, both) for _ in range(support_knots)]
         models += self._footstep_models(com_ref, [rf], first * step_length,
-                                        step_height, dt, step_knots, [L], [R])
+                                        step_height, dt, step_knots, [L], [R],
+                                        pseudo_impulse)
         models += [self._make_node(dt, both) for _ in range(support_knots)]
         models += self._footstep_models(com_ref, [lf], step_length,
-                                        step_height, dt, step_knots, [R], [L])
+                                        step_height, dt, step_knots, [R], [L],
+                                        pseudo_impulse)
         return self._problem(x0, models)

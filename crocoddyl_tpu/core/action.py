@@ -95,6 +95,13 @@ class ActionModel(struct.PyTreeNode):
         u = jnp.zeros((self.nu,), dtype=jnp.result_type(x))
         return self.calc_diff(x, u)
 
+    def calc_both(self, x: jax.Array, u: jax.Array):
+        """(NodeDerivs, xnext, cost) — calc + calc_diff in one pass.
+        Default composes the two; dynamics-heavy nodes override with a
+        single fused evaluation."""
+        xnext, cost = self.calc(x, u)
+        return self.calc_diff(x, u), xnext, cost
+
     def quasi_static(self, x: jax.Array, maxiter: int = 10) -> jax.Array:
         """Control keeping the state steady; default zero (overridden by
         dynamics-aware models; reference: core/action-base.hpp quasiStatic)."""

@@ -6,11 +6,18 @@ over nodes in ``calc``/``calcDiff``; rollout is sequential.  Here the running
 horizon is ONE model dataclass whose array leaves carry a leading T axis
 (per-node parameters), so node evaluation is a ``jax.vmap`` over T — the exact
 TPU analogue of the OpenMP node loop — and the rollout is a ``lax.scan``.
+
+Heterogeneous node TYPES (e.g. RigidBodyNode running knots interleaved with
+ImpulseNode foot-switch knots, the reference's true-impulse gait variant,
+utils/quadruped.py:523-554) are expressed as SEGMENTS: ``running`` may be a
+tuple of stacked models, evaluated as consecutive vmaps/scans.  All segments
+must share the state and nu so the stacked derivative arrays stay uniform and
+the Riccati recursion is segment-agnostic.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,14 +26,33 @@ from flax import struct
 from .action import ActionModel, NodeDerivs
 
 
+def _seg_len(model) -> int:
+    return jax.tree.leaves(model)[0].shape[0]
+
+
+def _concat_tree(trees):
+    if len(trees) == 1:
+        return trees[0]
+    return jax.tree.map(lambda *ls: jnp.concatenate(ls, axis=0), *trees)
+
+
 class ShootingProblem(struct.PyTreeNode):
     x0: jax.Array
-    running: ActionModel   # array leaves have leading T axis
+    running: Any           # stacked model, or tuple of stacked segments
     terminal: ActionModel
 
     @property
+    def segments(self) -> Tuple[ActionModel, ...]:
+        return (self.running if isinstance(self.running, tuple)
+                else (self.running,))
+
+    @property
+    def seg_lengths(self) -> Tuple[int, ...]:
+        return tuple(_seg_len(s) for s in self.segments)
+
+    @property
     def T(self) -> int:
-        return jax.tree.leaves(self.running)[0].shape[0]
+        return sum(self.seg_lengths)
 
     @property
     def state(self):
@@ -34,7 +60,14 @@ class ShootingProblem(struct.PyTreeNode):
 
     @property
     def nu(self) -> int:
-        return self.terminal.nu if hasattr(self.terminal, "nu") else 0
+        return self.segments[0].nu
+
+    def _seg_slices(self):
+        out, i = [], 0
+        for n in self.seg_lengths:
+            out.append((i, i + n))
+            i += n
+        return out
 
     # ------------------------------------------------------------------
     def calc(self, xs: jax.Array, us: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -43,20 +76,40 @@ class ShootingProblem(struct.PyTreeNode):
         Returns (xnexts (T, nx), costs (T+1,)) — costs[T] is the terminal
         cost.  Mirrors ShootingProblem::calc (shooting.hxx:133-161).
         """
-        xnexts, costs = jax.vmap(lambda m, x, u: m.calc(x, u))(
-            self.running, xs[:-1], us)
+        xnexts, costs = [], []
+        for seg, (i, j) in zip(self.segments, self._seg_slices()):
+            xn, c = jax.vmap(lambda m, x, u: m.calc(x, u))(
+                seg, xs[i:j], us[i:j])
+            xnexts.append(xn)
+            costs.append(c)
         cterm = self.terminal.calc_terminal(xs[-1])
-        return xnexts, jnp.concatenate([costs, cterm[None]])
+        return (jnp.concatenate(xnexts, axis=0),
+                jnp.concatenate(costs + [cterm[None]]))
 
     def calc_diff(self, xs: jax.Array, us: jax.Array) -> Tuple[NodeDerivs, NodeDerivs]:
         """Derivatives of every node, stacked over T, plus terminal derivs.
 
         Mirrors ShootingProblem::calcDiff (shooting.hxx:163-196).
         """
-        derivs = jax.vmap(lambda m, x, u: m.calc_diff(x, u))(
-            self.running, xs[:-1], us)
+        derivs = _concat_tree([
+            jax.vmap(lambda m, x, u: m.calc_diff(x, u))(seg, xs[i:j], us[i:j])
+            for seg, (i, j) in zip(self.segments, self._seg_slices())])
         dterm = self.terminal.calc_diff_terminal(xs[-1])
         return derivs, dterm
+
+    def calc_diff_full(self, xs: jax.Array, us: jax.Array):
+        """One fused pass: (derivs, dterm, xnexts, costs) — what the solver's
+        calcDiff step actually needs (derivatives + gaps + cost,
+        ddp.cpp:157-178) without evaluating the dynamics twice."""
+        outs = [jax.vmap(lambda m, x, u: m.calc_both(x, u))(
+            seg, xs[i:j], us[i:j])
+            for seg, (i, j) in zip(self.segments, self._seg_slices())]
+        derivs = _concat_tree([o[0] for o in outs])
+        xnexts = jnp.concatenate([o[1] for o in outs], axis=0)
+        costs = jnp.concatenate([o[2] for o in outs], axis=0)
+        dterm = self.terminal.calc_diff_terminal(xs[-1])
+        cterm = self.terminal.calc_terminal(xs[-1])
+        return derivs, dterm, xnexts, jnp.concatenate([costs, cterm[None]])
 
     def rollout(self, us: jax.Array) -> jax.Array:
         """Sequential open-loop rollout from x0 (shooting.hxx rollout)."""
@@ -66,8 +119,14 @@ class ShootingProblem(struct.PyTreeNode):
             xn, _ = m.calc(x, u)
             return xn, x
 
-        xT, xs = jax.lax.scan(step, self.x0, (self.running, us))
-        return jnp.concatenate([xs, xT[None]], axis=0)
+        x = self.x0
+        xs_parts = []
+        for seg, (i, j) in zip(self.segments, self._seg_slices()):
+            x, xs = jax.lax.scan(step, x, (seg, us[i:j]))
+            xs_parts.append(xs)
+        return jnp.concatenate(xs_parts + [x[None]], axis=0)
 
     def quasi_static(self, xs: jax.Array) -> jax.Array:
-        return jax.vmap(lambda m, x: m.quasi_static(x))(self.running, xs[:-1])
+        return jnp.concatenate([
+            jax.vmap(lambda m, x: m.quasi_static(x))(seg, xs[i:j])
+            for seg, (i, j) in zip(self.segments, self._seg_slices())], axis=0)

@@ -275,9 +275,17 @@ def _forward_pass(problem: ShootingProblem, xs, us, k, K, fs, alpha,
         return (xnext_new, cost_try, failed), (x_try, u_try)
 
     dt = xs.dtype
-    init = (problem.x0.astype(dt), jnp.zeros((), dt), jnp.zeros((), bool))
-    (xnext, cost_try, failed), (xs_try, us_try) = jax.lax.scan(
-        step, init, (problem.running, xs[:-1], us, k, K, fs[:-1], u_lb, u_ub))
+    carry = (problem.x0.astype(dt), jnp.zeros((), dt), jnp.zeros((), bool))
+    xs_parts, us_parts = [], []
+    for seg, (i, j) in zip(problem.segments, problem._seg_slices()):
+        carry, (xs_s, us_s) = jax.lax.scan(
+            step, carry, (seg, xs[i:j], us[i:j], k[i:j], K[i:j],
+                          fs[i:j], u_lb[i:j], u_ub[i:j]))
+        xs_parts.append(xs_s)
+        us_parts.append(us_s)
+    xnext, cost_try, failed = carry
+    xs_try = jnp.concatenate(xs_parts, axis=0)
+    us_try = jnp.concatenate(us_parts, axis=0)
 
     xT_try = st.integrate(xnext, gap_scale * fs[-1])
     cost_try = cost_try + problem.terminal.calc_terminal(xT_try)
@@ -292,8 +300,7 @@ def _forward_pass(problem: ShootingProblem, xs, us, k, K, fs, alpha,
 
 def _calc_diff(problem: ShootingProblem, xs, us, feasible):
     st = problem.state
-    xnexts, costs = problem.calc(xs, us)
-    derivs, dterm = problem.calc_diff(xs, us)
+    derivs, dterm, xnexts, costs = problem.calc_diff_full(xs, us)
     cost = jnp.sum(costs)
     f0 = st.diff(xs[0], problem.x0.astype(xs.dtype))
     frest = jax.vmap(st.diff)(xs[1:], xnexts)
@@ -320,7 +327,7 @@ def solve(problem: ShootingProblem,
     s = settings
     T = problem.T
     st = problem.state
-    nu = problem.running.nu
+    nu = problem.nu
 
     x0 = problem.x0
     dt = x0.dtype
@@ -373,8 +380,8 @@ def solve(problem: ShootingProblem,
 
     if s.box:
         if u_lb is None:
-            u_lb = getattr(problem.running, "u_lb", None)
-            u_ub = getattr(problem.running, "u_ub", None)
+            u_lb = getattr(problem.segments[0], "u_lb", None)
+            u_ub = getattr(problem.segments[0], "u_ub", None)
         if u_lb is None:
             raise ValueError("box solver requires control bounds (u_lb/u_ub)")
         u_lb = jnp.broadcast_to(jnp.asarray(u_lb, dt), (T, nu))

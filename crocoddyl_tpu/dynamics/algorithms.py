@@ -267,6 +267,17 @@ class KinData:
         m = self.model.mass
         return (m[:, None] * self.I_w.c).sum(0) / jnp.sum(m)
 
+    def com_velocity(self, vdof):
+        """d(com)/dt under joint velocity ``vdof`` — i.e. Jcom·vdof
+        (pinocchio jacobianCenterOfMass contracted with v).  Uses the stacked
+        world Jacobian columns: per-body world spatial velocity u_b, then the
+        body-CoM point velocity u_lin + u_ang × c_i, mass-averaged."""
+        u = self.Jcols * vdof[:, None]                       # (nv, 6)
+        u_b = (u[None, :, :] * self.amask[:, :, None]).sum(1)  # (nj, 6)
+        cdot = u_b[:, :3] + jnp.cross(u_b[:, 3:], self.I_w.c)
+        m = self.model.mass
+        return (m[:, None] * cdot).sum(0) / jnp.sum(m)
+
     def centroidal_momentum(self):
         h_w = self.oMi.act_force(
             Inertia(m=self.model.mass, c=self.model.com,

@@ -173,17 +173,11 @@ class CostCentroidalMomentum(Cost):
 
 
 class CostImpulseCoM(Cost):
-    """r = vcom(q, v⁺−v⁻) — CoM velocity change at impact
+    """r = Jcom·(v⁺−v⁻) — CoM velocity change at impact
     (multibody/costs/impulse-com.hxx)."""
 
     def residual(self, st, cache, x, u):
-        m = cache.model
-        dv = cache.vnext - cache.v
-        # vcom = (1/mass) Σ m_i · d(com_i)/dt = Jcom · dv
-        from ...dynamics import algorithms as algo
-        Jcom = jax.jacfwd(
-            lambda vv: _com_vel(m, cache, vv))(jnp.zeros_like(dv))
-        return lie.mv(Jcom, dv)
+        return cache.kin.com_velocity(cache.vnext - cache.v)
 
 
 class CostContactImpulse(CostContactForce):
@@ -196,17 +190,6 @@ class CostImpulseFrictionCone(CostContactFrictionCone):
     """Friction cone on the impulse Λ
     (multibody/costs/impulse-friction-cone.hxx); same residual machinery as
     the contact-force cone applied to an ImpulseNode's forces."""
-
-
-def _com_vel(m, cache, v):
-    # helper for CostImpulseCoM: d/dt com along velocity v (via FK linearity)
-    from ...dynamics import algorithms as algo
-    com_fn = lambda q: algo.center_of_mass(m, q)
-    # tangent motion of com under configuration velocity v
-    from ...dynamics.states import StateMultibody
-    st = StateMultibody(model=m)
-    return jax.jvp(lambda dq: com_fn(st._q_integrate(cache.q, dq)),
-                   (jnp.zeros_like(v),), (v,))[1]
 
 
 def cost_nr(cost: Cost, st) -> int:

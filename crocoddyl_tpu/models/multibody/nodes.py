@@ -230,7 +230,7 @@ class RigidBodyNode(ActionModel):
 
         if self.integrator != "euler":
             # generic fused-AD path (RK4): one jacfwd, primal via aux
-            xnext0, _, _ = self._compute(x, u)
+            xnext0, cost0, _ = self._compute(x, u)
 
             def g(dx, du):
                 xn, _, R = self._compute(st.integrate(x, dx), u + du)
@@ -240,7 +240,7 @@ class RigidBodyNode(ActionModel):
             z_du = jnp.zeros((nu,), dtt)
             ((Fx, Fu), (Rx, Ru)), R0 = jax.jacfwd(
                 g, argnums=(0, 1), has_aux=True)(z_dx, z_du)
-            return Fx, Fu, R0, Rx, Ru
+            return Fx, Fu, R0, Rx, Ru, xnext0, cost0
 
         def f(dx, du):
             xi = st.integrate(x, dx)
@@ -273,15 +273,28 @@ class RigidBodyNode(ActionModel):
         is_term = dt == 0.0
         Fx = jnp.where(is_term, jnp.eye(ndx, dtype=dtt), Fx_int)
         Fu = jnp.where(is_term, jnp.zeros((ndx, nu), dtt), Fu_int)
-        return Fx, Fu, R, Rx, Ru
+
+        # primal (xnext, cost) for free — shares the fused evaluation
+        # (ShootingProblem::calc + calcDiff in one pass)
+        xnext = jnp.where(is_term, x, st.integrate(x, dstep))
+        cost_rate = self.costs.value(st, R)
+        cost = jnp.where(is_term, cost_rate, dt * cost_rate)
+        return Fx, Fu, R, Rx, Ru, xnext, cost
 
     def calc_diff(self, x, u) -> NodeDerivs:
+        return self.calc_both(x, u)[0]
+
+    def calc_both(self, x, u):
+        """(NodeDerivs, xnext, cost) in ONE fused evaluation — the solver's
+        calcDiff also needs calc's outputs for the gaps (ddp.cpp:157-178),
+        and both share the same dynamics pass."""
         st = self.state_
-        Fx, Fu, R, Rx, Ru = self._tangent_outputs(x, u)
+        Fx, Fu, R, Rx, Ru, xnext, cost = self._tangent_outputs(x, u)
         Lx, Lu, Lxx, Lxu, Luu = self.costs.gauss_newton(st, R, Rx, Ru)
         scale = jnp.where(self.dt == 0.0, 1.0, self.dt)
-        return NodeDerivs(Fx=Fx, Fu=Fu, Lx=scale * Lx, Lu=scale * Lu,
-                          Lxx=scale * Lxx, Lxu=scale * Lxu, Luu=scale * Luu)
+        return (NodeDerivs(Fx=Fx, Fu=Fu, Lx=scale * Lx, Lu=scale * Lu,
+                           Lxx=scale * Lxx, Lxu=scale * Lxu, Luu=scale * Luu),
+                xnext, cost)
 
     def calc_diff_terminal(self, x) -> NodeDerivs:
         st = self.state_
@@ -403,21 +416,24 @@ class ImpulseNode(ActionModel):
         return self._compute(x)[1]
 
     def calc_diff(self, x, u) -> NodeDerivs:
+        return self.calc_both(x, u)[0]
+
+    def calc_both(self, x, u):
         st = self.state_
-        xnext0, _, _ = self._compute(x)
+        xnext0, cost0, _ = self._compute(x)
 
         def g(dx):
             xn, _, R = self._compute(st.integrate(x, dx))
-            return st.diff(xnext0, xn), R
+            return (st.diff(xnext0, xn), R), R
 
         z = jnp.zeros((st.ndx,), x.dtype)
-        Fx, Rx = jax.jacfwd(g)(z)
-        _, _, R0 = self._compute(x)
+        (Fx, Rx), R0 = jax.jacfwd(g, has_aux=True)(z)
         nu = self.nu_
         Ru = jnp.zeros((R0.shape[0], nu), x.dtype)
         Lx, Lu, Lxx, Lxu, Luu = self.costs.gauss_newton(st, R0, Rx, Ru)
-        return NodeDerivs(Fx=Fx, Fu=jnp.zeros((st.ndx, nu), x.dtype),
-                          Lx=Lx, Lu=Lu, Lxx=Lxx, Lxu=Lxu, Luu=Luu)
+        return (NodeDerivs(Fx=Fx, Fu=jnp.zeros((st.ndx, nu), x.dtype),
+                           Lx=Lx, Lu=Lu, Lxx=Lxx, Lxu=Lxu, Luu=Luu),
+                xnext0, cost0)
 
     def calc_diff_terminal(self, x) -> NodeDerivs:
         return self.calc_diff(x, jnp.zeros((self.nu_,), x.dtype))

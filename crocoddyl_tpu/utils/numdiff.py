@@ -114,6 +114,43 @@ def numdiff_state(state, x0, x1, h: float = None):
             jnp.asarray(Jdx))
 
 
+def numdiff_fxlx(model: ActionModel, x, u, h: float = 1e-6):
+    """First-order FD (Fx, Fu, Lx, Lu) only — the cheap per-test oracle
+    (core/numdiff/action.hxx:60-97 column construction).  Returns numpy."""
+    st = model.state
+    xn0, c0 = model.calc(x, u)
+    ndx, nu = st.ndx, model.nu
+    Fx = np.zeros((ndx, ndx))
+    Fu = np.zeros((ndx, nu))
+    Lx = np.zeros(ndx)
+    Lu = np.zeros(nu)
+    for i in range(ndx):
+        dx = jnp.zeros(ndx).at[i].set(h)
+        xn, c = model.calc(st.integrate(x, dx), u)
+        Fx[:, i] = np.asarray(st.diff(xn0, xn)) / h
+        Lx[i] = (float(c) - float(c0)) / h
+    for i in range(nu):
+        du = jnp.zeros(nu).at[i].set(h)
+        xn, c = model.calc(x, u + du)
+        Fu[:, i] = np.asarray(st.diff(xn0, xn)) / h
+        Lu[i] = (float(c) - float(c0)) / h
+    return Fx, Fu, Lx, Lu
+
+
+def numdiff_actuation(actuation, x, u, h: float = None):
+    """FD (dtau_dx, dtau_du) for an actuation model
+    (core/numdiff/actuation.hpp semantics); dtau_dx in tangent coordinates
+    requires the caller's state for the retraction."""
+    h = DISTURBANCE if h is None else h
+    tau0 = actuation.calc(x, u)
+    nu = u.shape[0]
+    dtau_du = np.zeros((tau0.shape[0], nu))
+    for i in range(nu):
+        taui = actuation.calc(x, u + h * jnp.zeros(nu).at[i].set(1.0))
+        dtau_du[:, i] = np.asarray(taui - tau0) / h
+    return jnp.asarray(dtau_du)
+
+
 def numdiff_activation(activation, r, h: float = None):
     """FD (Ar, Arr) for an activation (core/numdiff/activation.hpp)."""
     h = DISTURBANCE if h is None else h

@@ -16,12 +16,16 @@ from crocoddyl_tpu.models.multibody.costs import (
 from crocoddyl_tpu.models.multibody.nodes import CostStack, RigidBodyNode
 
 
-def make_problem(T=100, dt=1e-3, target=(0.0, 0.3, 0.4)):
+def make_problem(T=250, dt=1e-3, target=(0.0, 0.0, 0.4)):
+    """Mirrors the reference recipe exactly (examples/arm_manipulation.py:
+    gripperPose w=1 running+terminal, xReg/uReg w=1e-4, dt=1e-3, T=250,
+    armature 0.1 on the first six joints)."""
     m = robots.arm7()
     st = StateMultibody(model=m)
     fid = m.frame_id("gripper")
     q0 = jnp.asarray(np.array([0.5, 0.6, -0.8, 1.2, 0.4, 0.3, 0.0]))
     x0 = jnp.concatenate([q0, jnp.zeros(m.nv)])
+    armature = jnp.asarray([0.1] * 6 + [0.0])
 
     def node(w_goal, dt_):
         costs = CostStack(items=(
@@ -32,16 +36,16 @@ def make_problem(T=100, dt=1e-3, target=(0.0, 0.3, 0.4)):
                                active=jnp.asarray(1.0)),
             CostState(xref=jnp.concatenate([q0, jnp.zeros(m.nv)]),
                       activation=ActivationQuad(),
-                      weight=jnp.asarray(1e-1), active=jnp.asarray(1.0)),
+                      weight=jnp.asarray(1e-4), active=jnp.asarray(1.0)),
             CostControl(uref=jnp.zeros(m.nv), activation=ActivationQuad(),
-                        weight=jnp.asarray(1e-3), active=jnp.asarray(1.0)),
+                        weight=jnp.asarray(1e-4), active=jnp.asarray(1.0)),
         ))
         return RigidBodyNode(state_=st, actuation=FullActuation(nv=m.nv),
-                             costs=costs, contacts=None,
+                             costs=costs, contacts=None, armature=armature,
                              dt=jnp.asarray(dt_))
 
     running = ct.stack_models([node(1.0, dt)] * T)
-    terminal = node(1e3, 0.0)
+    terminal = node(1.0, 0.0)
     return ct.ShootingProblem(x0=x0, running=running, terminal=terminal), fid, m
 
 

@@ -33,7 +33,9 @@ def make_problem(T=50, dt=5e-2):
     m = robots.cartpole()
     st = StateMultibody(model=m)
     tip = m.frame_id("pole_tip")
-    x0 = jnp.zeros(m.nq + m.nv).at[1].set(jnp.pi)  # pole down
+    x0 = jnp.zeros(m.nq + m.nv).at[1].set(3.14)  # pole down (3.14,
+    # not exactly pi: the upright saddle has a symmetric zero
+    # gradient — same trick as the reference cartpole notebook)
 
     def node(w_goal, dt_):
         costs = CostStack(items=(
@@ -53,13 +55,13 @@ def make_problem(T=50, dt=5e-2):
                              costs=costs, contacts=None, dt=jnp.asarray(dt_))
 
     running = ct.stack_models([node(1.0, dt)] * T)
-    terminal = node(2e2, 0.0)
+    terminal = node(1e4, 0.0)
     return ct.ShootingProblem(x0=x0, running=running, terminal=terminal)
 
 
 def main():
     problem = make_problem()
-    sol = ct.solve(problem, settings=ct.SolverSettings(maxiter=200))
+    sol = ct.solve(problem, settings=ct.SolverSettings(maxiter=300))
     ct.print_trace(sol, "cartpole_swingup")
     print("final state:", np.asarray(sol.xs[-1]))
     return sol

@@ -1,0 +1,134 @@
+"""Shared example configurations for the golden-trace regression harness.
+
+The reference pins every example to a checked-in convergence trace
+(examples/log/*.log, run as tests via examples/CMakeLists.txt:20-26).  Here
+each entry builds and solves one example configuration deterministically
+(float64, CPU — tests/conftest.py) and returns its Solution.  The SAME
+callables are used by tests/record_golden.py (writes tests/golden.json +
+examples/log/*.log trace files) and tests/test_examples_golden.py (asserts
+iteration count and final cost against the recorded values).
+
+Sizes are the full example sizes where runtime permits; the heavy humanoid /
+gait problems use reduced knot counts (noted per entry) — the pinned numbers
+are golden for the pinned configuration, which is what regression detection
+needs.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+
+def _sol_of(ret):
+    """Normalize example main() returns (Solution | dict | (sol, extra))."""
+    if isinstance(ret, dict):
+        return next(iter(ret.values()))
+    if isinstance(ret, tuple):
+        return ret[0]
+    return ret
+
+
+def unicycle():
+    import unicycle as ex
+    return _sol_of(ex.main())
+
+
+def lqr():
+    import lqr as ex
+    return _sol_of(ex.main())
+
+
+def cartpole_swingup():
+    import cartpole_swingup as ex
+    return _sol_of(ex.main())
+
+
+def double_pendulum():
+    import double_pendulum as ex
+    return _sol_of(ex.main())
+
+
+def quadrotor():
+    import quadrotor as ex
+    return _sol_of(ex.main())
+
+
+def quadrotor_ubound():
+    import quadrotor as ex
+    return _sol_of(ex.main(ubound=True))
+
+
+def arm_manipulation():
+    import arm_manipulation as ex
+    return _sol_of(ex.main())
+
+
+def boxfddp_vs_boxddp():
+    import boxfddp_vs_boxddp as ex
+    return _sol_of(ex.main())
+
+
+def bipedal_walk():
+    import bipedal_walk as ex
+    return _sol_of(ex.main())
+
+
+def quadrupedal_walking():
+    """Reduced: step_knots=8 (full example uses 25; runtime)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import crocoddyl_tpu as ct
+    from crocoddyl_tpu.apps.gaits import QuadrupedGaitFactory
+    from crocoddyl_tpu.dynamics import robots
+    m = robots.quadruped()
+    q0 = robots.quadruped_standing_q(m)
+    x0 = jnp.concatenate([q0, jnp.zeros(m.nv)])
+    fac = QuadrupedGaitFactory(
+        m, ["LF_FOOT", "RF_FOOT", "LH_FOOT", "RH_FOOT"],
+        default_q=np.asarray(q0))
+    prob = fac.walking_problem(x0, 0.25, 0.15, 1e-2, step_knots=8,
+                               support_knots=2)
+    xs = jnp.tile(prob.x0[None], (prob.T + 1, 1))
+    us = prob.quasi_static(xs)
+    return ct.solve(prob, xs_init=xs, us_init=us,
+                    settings=ct.SolverSettings(maxiter=100))
+
+
+def quadrupedal_walk_ubound():
+    import quadrupedal_walk_ubound as ex
+    return _sol_of(ex.main())
+
+
+def humanoid_manipulation():
+    import humanoid_manipulation as ex
+    return _sol_of(ex.main())
+
+
+def humanoid_taichi():
+    import humanoid_taichi as ex
+    return _sol_of(ex.main())
+
+
+def bipedal_walk_cop():
+    """Reduced knots (12/5); full RH5-style sizes in the example itself."""
+    import bipedal_walk_cop as ex
+    return _sol_of(ex.main(step_knots=12, support_knots=5))
+
+
+EXAMPLES = {
+    "unicycle": unicycle,
+    "lqr": lqr,
+    "cartpole_swingup": cartpole_swingup,
+    "double_pendulum": double_pendulum,
+    "quadrotor": quadrotor,
+    "quadrotor_ubound": quadrotor_ubound,
+    "arm_manipulation": arm_manipulation,
+    "boxfddp_vs_boxddp": boxfddp_vs_boxddp,
+    "bipedal_walk": bipedal_walk,
+    "quadrupedal_walking": quadrupedal_walking,
+    "quadrupedal_walk_ubound": quadrupedal_walk_ubound,
+    "humanoid_manipulation": humanoid_manipulation,
+    "humanoid_taichi": humanoid_taichi,
+    "bipedal_walk_cop": bipedal_walk_cop,
+}

@@ -1,0 +1,50 @@
+"""Golden-trace regression: every example reproduces its recorded iteration
+count and final cost (reference: examples run as tests with checked-in logs,
+examples/CMakeLists.txt:20-26 + examples/log/*.log).
+
+Regenerate with:  python tests/record_golden.py
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from .golden_configs import EXAMPLES
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden.json")
+
+if os.path.exists(GOLDEN):
+    with open(GOLDEN) as f:
+        _GOLDEN = json.load(f)
+else:  # pragma: no cover — before first record_golden.py run
+    _GOLDEN = {}
+    pytestmark = pytest.mark.skip(reason="tests/golden.json not recorded yet")
+
+# heavy configs → their own slow lane; everything else runs in the suite
+_HEAVY = {"humanoid_taichi", "bipedal_walk", "quadrupedal_walking",
+          "quadrupedal_walk_ubound", "bipedal_walk_cop",
+          "humanoid_manipulation", "boxfddp_vs_boxddp"}
+
+
+@pytest.mark.parametrize("name", sorted(set(EXAMPLES) - _HEAVY))
+def test_example_matches_golden(name):
+    _check(name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(_HEAVY))
+def test_example_matches_golden_slow(name):
+    _check(name)
+
+
+def _check(name):
+    assert name in _GOLDEN, (
+        f"no golden record for {name}; run tests/record_golden.py")
+    g = _GOLDEN[name]
+    sol = EXAMPLES[name]()
+    assert bool(sol.converged) == g["converged"]
+    # float64 CPU is deterministic; allow minor cross-machine libm drift
+    assert abs(int(sol.iter) - g["iters"]) <= 1, (int(sol.iter), g["iters"])
+    np.testing.assert_allclose(float(sol.cost), g["cost"], rtol=1e-5)

@@ -78,3 +78,50 @@ def test_biped_walk_solves():
                    settings=ct.SolverSettings(maxiter=40, record_trace=False))
     assert np.all(np.isfinite(np.asarray(sol.xs)))
     assert float(sol.cost) < cost0
+
+
+def test_quadruped_walk_true_impulse_segments(quad):
+    """pseudo_impulse=False: switch knots are TRUE ImpulseNodes; the problem
+    becomes a segmented pytree (quadruped.py:523-554 createImpulseModel) and
+    FDDP still converges."""
+    m, x0, fac = quad
+    prob = fac.walking_problem(x0, 0.1, 0.05, 1e-2, step_knots=4,
+                               support_knots=1, pseudo_impulse=False)
+    assert len(prob.segments) == 8          # 4x (swing seg + impulse seg)
+    assert prob.T == 2 * 1 + 4 * 5
+    xs = jnp.tile(x0[None], (prob.T + 1, 1))
+    us = prob.quasi_static(xs)
+    sol = ct.solve(prob, xs_init=xs, us_init=us,
+                   settings=ct.SolverSettings(maxiter=60, record_trace=False))
+    assert bool(sol.converged)
+    assert np.all(np.isfinite(np.asarray(sol.xs)))
+
+
+def test_biped_cop_walking_solves():
+    """CoP-constrained walking (the fork's thesis application;
+    RH5/utils/walkProblem.py:393-398): solves, converges, and the CoP stays
+    inside the support rectangle on every supporting sole."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    from bipedal_walk_cop import CoPBipedGaitFactory, cop_in_support
+
+    m = robots.biped()
+    q0 = robots.biped_standing_q(m)
+    x0 = jnp.concatenate([q0, jnp.zeros(m.nv)])
+    fac = CoPBipedGaitFactory(m, ["right_sole", "left_sole"],
+                              default_q=np.asarray(q0))
+    prob = fac.walking_problem(x0, 0.3, 0.05, 0.03, step_knots=6,
+                               support_knots=3)
+    # CoP costs present on supporting feet
+    from crocoddyl_tpu.models.multibody.costs import CostContactCoP
+    assert any(isinstance(c, CostContactCoP)
+               for c in prob.segments[0].costs.items)
+    xs = jnp.tile(x0[None], (prob.T + 1, 1))
+    us = prob.quasi_static(xs)
+    sol = ct.solve(prob, xs_init=xs, us_init=us,
+                   settings=ct.SolverSettings(maxiter=150,
+                                              record_trace=False))
+    assert bool(sol.converged)
+    # worst violation in N·m, normalized by ~weight-scale force ⇒ mm-scale
+    assert cop_in_support(prob, sol) > -0.5
