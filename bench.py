@@ -7,17 +7,24 @@ the quasi-static trajectory, and time `solve` with maxiter=1 — the MPC
 replanning step.  Here the solve is batched over B problem instances
 (perturbed initial states) and jitted end-to-end on the TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+stdout: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is against the driver north star (BASELINE.json): >=1000
 batched FDDP solves/s on a 100-step quadruped gait (target set for a
 v5p-8 slice; this runs on whatever single chip is attached).
 
-Env knobs: BENCH_B (batch, default 32), BENCH_MAXITER (default 1),
-BENCH_REPS (default 3), BENCH_PROBLEM=quadruped|unicycle.
+stderr + BENCH_DETAIL.json: auxiliary metrics — per-stage timing split
+(the arm-manipulation-timings.cpp analogue), model-FLOPs + MFU estimate
+from XLA cost analysis, and a small-batch p50 MPC replan latency.
+
+Env knobs: BENCH_B (batch, default 128), BENCH_MAXITER (default 1),
+BENCH_REPS (default 3), BENCH_PROBLEM=quadruped|unicycle,
+BENCH_DETAIL=1 to emit the auxiliary metrics (several extra compiles), BENCH_PR=1 to use the
+horizon-parallel Riccati backward pass.
 """
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -26,14 +33,27 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# v5e peak: 197 TFLOP/s bf16; f32 on the MXU runs at half rate.  Used only
+# for the (approximate) MFU line in BENCH_DETAIL.
+PEAK_FLOPS = {"TPU v5 lite": 98.5e12, "TPU v5": 229.5e12,
+              "TPU v4": 137.5e12}.get(
+    jax.devices()[0].device_kind if jax.devices() else "", 98.5e12)
+
 
 def quadruped_problem(dtype=jnp.float32):
     from crocoddyl_tpu.apps.gaits import QuadrupedGaitFactory
     from crocoddyl_tpu.dynamics import robots
 
     np_dtype = np.float32 if dtype == jnp.float32 else np.float64
-    m = robots.quadruped(dtype=np_dtype)
-    q0 = robots.quadruped_standing_q(m, dtype=np_dtype)
+    # benchmark robot: ANYmal B from the vendored URDF via the native parser
+    # (assets/anymal_b.urdf); BENCH_ROBOT=programmatic falls back to the
+    # hand-authored stand-in model.
+    if os.environ.get("BENCH_ROBOT", "anymal") == "anymal":
+        m = robots.anymal(dtype=np_dtype)
+        q0 = robots.quadruped_standing_q(m, height=0.48, dtype=np_dtype)
+    else:
+        m = robots.quadruped(dtype=np_dtype)
+        q0 = robots.quadruped_standing_q(m, dtype=np_dtype)
     x0 = jnp.concatenate([q0, jnp.zeros(m.nv, dtype)])
     fac = QuadrupedGaitFactory(
         m, ["LF_FOOT", "RF_FOOT", "LH_FOOT", "RH_FOOT"],
@@ -56,13 +76,24 @@ def unicycle_problem(dtype=jnp.float32):
                            terminal=m), x0
 
 
+def _perturbed_x0s(prob, x0, B, dtype, which):
+    key = jax.random.PRNGKey(0)
+    noise = 0.01 * jax.random.normal(key, (B, x0.shape[0]), dtype)
+    if which == "quadruped":
+        nv = prob.state.nv
+        noise = noise.at[:, : x0.shape[0] - nv].set(0.0)
+    return x0[None] + noise
+
+
 def main():
+    from crocoddyl_tpu.core.solvers import fddp
     from crocoddyl_tpu.core.solvers.fddp import SolverSettings, solve
 
     which = os.environ.get("BENCH_PROBLEM", "quadruped")
     B = int(os.environ.get("BENCH_B", "128"))
     maxiter = int(os.environ.get("BENCH_MAXITER", "1"))
     n_rep = int(os.environ.get("BENCH_REPS", "3"))
+    detail = os.environ.get("BENCH_DETAIL", "0") == "1"
     dtype = jnp.float32
 
     if which == "quadruped":
@@ -74,31 +105,25 @@ def main():
     # Sequential early-exit line search: warm-started MPC steps accept the
     # first step length, so the 10-alpha parallel rollout would be ~10x
     # wasted FLOPs here (ddp.cpp:78-94 semantics).
-    settings = SolverSettings(maxiter=maxiter, record_trace=False,
-                              parallel_linesearch=False)
+    settings = SolverSettings(
+        maxiter=maxiter, record_trace=False, parallel_linesearch=False,
+        parallel_riccati=os.environ.get("BENCH_PR", "0") == "1")
 
     # Warm start: quasi-static controls from the default stance, the
     # MPC-replan configuration (solver warm-started at the solution
     # neighborhood, maxiter=1 — quadrupedal-gaits-optctrl.cpp:60-72).
     xs0 = jnp.tile(prob.x0[None], (T + 1, 1))
     us0 = prob.quasi_static(xs0)
+    x0s = _perturbed_x0s(prob, x0, B, dtype, which)
 
-    key = jax.random.PRNGKey(0)
-    # perturb initial velocities only (keeps q on the manifold)
-    noise = 0.01 * jax.random.normal(key, (B, x0.shape[0]), dtype)
-    if which == "quadruped":
-        nv = prob.state.nv
-        noise = noise.at[:, : x0.shape[0] - nv].set(0.0)
-    x0s = x0[None] + noise
-
-    @jax.jit
-    def run(x0s):
+    def run_fn(x0s):
         def one(x0_i):
             s = solve(prob.replace(x0=x0_i), xs_init=xs0, us_init=us0,
                       settings=settings)
             return s.cost
         return jax.vmap(one)(x0s)
 
+    run = jax.jit(run_fn)
     costs = run(x0s)
     costs.block_until_ready()  # compile + warmup
     assert not bool(jnp.isnan(costs).any()), "NaN cost in benchmark solve"
@@ -107,8 +132,85 @@ def main():
     for _ in range(n_rep):
         run(x0s).block_until_ready()
     dt_s = (time.perf_counter() - t0) / n_rep
-
     solves_per_s = B / dt_s
+
+    aux = {"batch": B, "T": T, "maxiter": maxiter,
+           "backend": jax.default_backend(),
+           "device": jax.devices()[0].device_kind,
+           "solves_per_s": round(solves_per_s, 2),
+           "step_ms": round(dt_s * 1e3, 2)}
+
+    if detail:
+        # ---- MFU from XLA's model-FLOPs estimate --------------------------
+        try:
+            compiled = jax.jit(run_fn).lower(x0s).compile()
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0))
+            aux["model_tflops_per_step"] = round(flops / 1e12, 4)
+            aux["model_flops_per_s"] = round(flops / dt_s / 1e12, 3)
+            aux["mfu_pct"] = round(100.0 * flops / dt_s / PEAK_FLOPS, 3)
+            mem = compiled.memory_analysis()
+            if mem is not None:
+                aux["hbm_temp_gb"] = round(
+                    getattr(mem, "temp_size_in_bytes", 0) / 2**30, 2)
+        except Exception as e:  # pragma: no cover
+            aux["cost_analysis_error"] = str(e)
+
+        # ---- small-batch MPC replan latency (p50) -------------------------
+        x0s_1 = _perturbed_x0s(prob, x0, 1, dtype, which)
+        run1 = jax.jit(run_fn)
+        run1(x0s_1).block_until_ready()
+        lats = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            run1(x0s_1).block_until_ready()
+            lats.append((time.perf_counter() - t0) * 1e3)
+        aux["replan_latency_b1_p50_ms"] = round(float(np.median(lats)), 3)
+
+        # ---- per-stage split (calc_diff / backward / forward) -------------
+        def stage_times():
+            xs_b = jnp.tile(xs0[None], (B, 1, 1))
+            us_b = jnp.tile(us0[None], (B, 1, 1))
+            cd = jax.jit(jax.vmap(lambda xs, us: jax.tree_util.tree_leaves(
+                fddp._calc_diff(prob, xs, us, jnp.zeros((), bool)))[0].sum()))
+            d1, dt1, f1, _ = jax.jit(jax.vmap(
+                lambda xs, us: fddp._calc_diff(prob, xs, us,
+                                               jnp.zeros((), bool))))(
+                xs_b, us_b)
+            bw = jax.jit(jax.vmap(lambda d, dtm, f: fddp._backward_pass(
+                d, dtm, f, jnp.asarray(1e-9, dtype),
+                jnp.asarray(1e-9, dtype))[4].sum()))
+            k0 = jnp.zeros((B, T, prob.nu), dtype)
+            K0 = jnp.zeros((B, T, prob.nu, prob.state.ndx), dtype)
+            fw = jax.jit(jax.vmap(lambda xs, us, k, K, f: fddp._forward_pass(
+                prob, xs, us, k, K, f, jnp.asarray(1.0, dtype))[2]))
+            out = {}
+            for name, fn, args in (
+                    ("calc_diff_ms", cd, (xs_b, us_b)),
+                    ("backward_ms", bw, (d1, dt1, f1)),
+                    ("forward_ms", fw, (xs_b, us_b, k0, K0, f1))):
+                fn(*args).block_until_ready()
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    fn(*args).block_until_ready()
+                out[name] = round((time.perf_counter() - t0) / 3 * 1e3, 2)
+            return out
+
+        if os.environ.get("BENCH_STAGES", "1") != "0":
+            try:
+                aux.update(stage_times())
+            except Exception as e:  # pragma: no cover
+                aux["stage_error"] = str(e)
+
+        print(json.dumps(aux), file=sys.stderr)
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json"), "w") as f:
+                json.dump(aux, f, indent=1)
+        except OSError:
+            pass
+
     print(json.dumps({
         "metric": f"batched_fddp_{which}_T{T}_maxiter{maxiter}_solves_per_s",
         "value": round(solves_per_s, 2),

@@ -134,7 +134,6 @@ class _IterState(struct.PyTreeNode):
     derivs: object            # NodeDerivs stacked (T, ...)
     dterm: object             # terminal NodeDerivs
     fs: jax.Array             # (T+1, ndx)
-    need_recalc: jax.Array
     # direction
     Vx: jax.Array
     Vxx: jax.Array
@@ -343,7 +342,13 @@ def solve(problem: ShootingProblem,
     ndx = st.ndx
 
     feas0 = jnp.asarray(is_feasible)
-    derivs0, dterm0, fs0, cost0 = _calc_diff(problem, xs_init, us_init, feas0)
+    # placeholder derivative/gap state — iteration 1 computes the real ones
+    # (every iteration starts with an unconditional _calc_diff; a
+    # data-dependent lax.cond here would run BOTH branches under vmap)
+    derivs0, dterm0, fs0, cost0 = jax.eval_shape(
+        lambda: _calc_diff(problem, xs_init, us_init, feas0))
+    derivs0, dterm0, fs0, cost0 = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), (derivs0, dterm0, fs0, cost0))
 
     if s.record_trace:
         nanvec = jnp.full((s.maxiter,), jnp.nan, dtype=dt)
@@ -360,7 +365,6 @@ def solve(problem: ShootingProblem,
         was_feasible=jnp.zeros((), bool),
         xreg=reg0, ureg=reg0, cost=cost0,
         derivs=derivs0, dterm=dterm0, fs=fs0,
-        need_recalc=jnp.zeros((), bool),  # derivatives just computed
         Vx=jnp.zeros((T + 1, ndx), dtype=dt),
         Vxx=jnp.zeros((T + 1, ndx, ndx), dtype=dt),
         Qu=zk, k=zk, K=zK, Quuk=zk,
@@ -390,12 +394,15 @@ def solve(problem: ShootingProblem,
                      th_grad=s.qp_th_grad, reg=s.qp_reg)
 
     def compute_direction(st_: _IterState) -> _IterState:
-        # recalcDiff semantics (ddp.cpp:41-76): derivatives refresh only after
-        # an accepted step; failed backward passes reuse them.
-        derivs, dterm, fs, cost = jax.lax.cond(
-            st_.need_recalc,
-            lambda: _calc_diff(problem, st_.xs, st_.us, st_.feasible),
-            lambda: (st_.derivs, st_.dterm, st_.fs, st_.cost))
+        # recalcDiff semantics (ddp.cpp:41-76): the reference refreshes
+        # derivatives only after an accepted step.  Here every iteration
+        # recomputes unconditionally: after a rejected line search the
+        # candidate is unchanged, so recomputation yields identical
+        # derivatives — same math, and strictly cheaper than a batched
+        # lax.cond, which executes BOTH branches under vmap.  Failed
+        # backward passes (reg escalation) still reuse them (inner loop).
+        derivs, dterm, fs, cost = _calc_diff(problem, st_.xs, st_.us,
+                                             st_.feasible)
 
         def bp(xreg, ureg):
             box_args = ((st_.us, u_lb, u_ub, st_.k, st_.feasible, qp_kw)
@@ -502,7 +509,7 @@ def solve(problem: ShootingProblem,
         feasible = jnp.where(any_acc, feas_new, st_.feasible)
         return st_.replace(
             xs=xs_new, us=us_new, cost=cost_new, feasible=feasible,
-            was_feasible=was_feas, need_recalc=any_acc,
+            was_feasible=was_feas,
             steplength=steplength, d0=pick(d0s), d1=pick(d1s))
 
     def adjust_regularization(st_: _IterState) -> _IterState:

@@ -104,6 +104,18 @@ def quadruped(dtype=np.float64) -> RobotModel:
     return b.build()
 
 
+def anymal(dtype=np.float64) -> RobotModel:
+    """ANYmal B loaded from the vendored URDF (assets/anymal_b.urdf) through
+    the native C++ parser — the benchmark robot, mirroring how the reference
+    loads ANYmal via example_robot_data + pinocchio::urdf
+    (examples/quadrupedal_gaits.py:15).  nq=19, nv=18, total mass ≈ 30 kg."""
+    import os
+    from ..io.urdf import load_urdf
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "assets", "anymal_b.urdf")
+    return load_urdf(path, floating_base=True, dtype=dtype)
+
+
 def quadruped_standing_q(model: RobotModel, height=0.5, dtype=np.float64):
     """A nominal standing configuration (legs bent, feet under hips)."""
     import jax.numpy as jnp

@@ -21,11 +21,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 
 
 def _sol_of(ret):
-    """Normalize example main() returns (Solution | dict | (sol, extra))."""
+    """Normalize example main() returns (Solution | dict | list | tuple)."""
     if isinstance(ret, dict):
         return next(iter(ret.values()))
-    if isinstance(ret, tuple):
-        return ret[0]
+    if isinstance(ret, (tuple, list)):
+        return _sol_of(ret[0])
     return ret
 
 
