@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from ...ops import smallchol as _sc
 from ..problem import ShootingProblem
 
 
@@ -157,9 +158,15 @@ class _IterState(struct.PyTreeNode):
 # Backward pass (Riccati recursion) — ddp.cpp:180-253, computeGains:298-310
 # ----------------------------------------------------------------------------
 
-def _backward_pass(derivs, dterm, fs, xreg, ureg, box_args=None):
+def _backward_pass(derivs, dterm, fs, xreg, ureg, box_args=None,
+                   probe=False):
     """``box_args`` enables the BoxDDP/BoxFDDP gain computation
-    (box-ddp.cpp:46-75): (us, u_lb, u_ub, k_warm, feasible, qp_settings)."""
+    (box-ddp.cpp:46-75): (us, u_lb, u_ub, k_warm, feasible, qp_settings).
+
+    ``probe=True`` returns only the failure flag (the scan carries just
+    (Vx, Vxx, failed) and stacks nothing) — used by the regularization
+    escalation sweep, where many candidate regs are probed in one vmapped
+    pass without materializing per-candidate gain trajectories."""
     dt = fs.dtype
     ndx = fs.shape[-1]
     eye = jnp.eye(ndx, dtype=dt)
@@ -193,12 +200,12 @@ def _backward_pass(derivs, dterm, fs, xreg, ureg, box_args=None):
         # too many orders of magnitude for a stable factorization.
         dscale = jnp.sqrt(jnp.maximum(jnp.diag(Quu), 1e-30))
         Quu_eq = Quu / dscale[:, None] / dscale[None, :]
-        chol = jnp.linalg.cholesky(Quu_eq)
+        chol = _sc.chol(Quu_eq)
         failed = failed | jnp.isnan(chol).any()
 
         def chol_solve(b):
-            y = jax.scipy.linalg.cho_solve(
-                (chol, True), b / dscale[..., :, None] if b.ndim == 2
+            y = _sc.cho_solve(
+                chol, b / dscale[..., :, None] if b.ndim == 2
                 else b / dscale)
             return y / dscale[..., :, None] if b.ndim == 2 else y / dscale
 
@@ -229,7 +236,8 @@ def _backward_pass(derivs, dterm, fs, xreg, ureg, box_args=None):
         Vx = Vx + Vxx @ f
 
         failed = failed | jnp.isnan(Vx).any() | jnp.isnan(Vxx).any()
-        return (Vx, Vxx, failed), (Vx, Vxx, Qu, kvec, K, Quuk)
+        out = None if probe else (Vx, Vxx, Qu, kvec, K, Quuk)
+        return (Vx, Vxx, failed), out
 
     if box_args is None:
         xs_in = (derivs, fs[:-1])
@@ -237,6 +245,8 @@ def _backward_pass(derivs, dterm, fs, xreg, ureg, box_args=None):
         xs_in = (derivs, fs[:-1], us, u_lb, u_ub, k_warm)
     (_, _, failed), outs = jax.lax.scan(
         step, (Vx_T, Vxx_T, failed0), xs_in, reverse=True)
+    if probe:
+        return failed
     Vx_r, Vxx_r, Qu, kvec, K, Quuk = outs
     Vx = jnp.concatenate([Vx_r, Vx_T[None]], axis=0)
     Vxx = jnp.concatenate([Vxx_r, Vxx_T[None]], axis=0)
@@ -404,28 +414,48 @@ def solve(problem: ShootingProblem,
         derivs, dterm, fs, cost = _calc_diff(problem, st_.xs, st_.us,
                                              st_.feasible)
 
+        box_args = ((st_.us, u_lb, u_ub, st_.k, st_.feasible, qp_kw)
+                    if s.box else None)
+
         def bp(xreg, ureg):
-            box_args = ((st_.us, u_lb, u_ub, st_.k, st_.feasible, qp_kw)
-                        if s.box else None)
             if s.parallel_riccati and not s.box:
                 from .parallel_riccati import backward_pass_parallel
                 return backward_pass_parallel(derivs, dterm, fs, xreg, ureg)
             return _backward_pass(derivs, dterm, fs, xreg, ureg, box_args)
 
+        def bp_probe(reg):
+            return _backward_pass(derivs, dterm, fs, reg, reg, box_args,
+                                  probe=True)
+
         Vx, Vxx, Qu, kvec, K, Quuk, failed = bp(st_.xreg, st_.ureg)
 
+        # Regularization escalation (ddp.cpp:56-70 semantics: retry with
+        # reg ×10 until the factorization succeeds or regmax).  Instead of
+        # up-to-18 SEQUENTIAL backward passes, probe ALL decade candidates
+        # in one vmapped carry-only pass (no stacked outputs, so memory is
+        # one (ndx,ndx) carry per candidate) and run the real backward once
+        # at the first succeeding reg — decision-identical to the ladder.
+        # The while_loop wrapper keeps the sweep conditional under vmap
+        # (body executes at most once, and only when some element failed).
+        n_dec = max(1, int(math.ceil(
+            math.log10(s.regmax) - math.log10(s.regmin))))
+
         def retry_cond(c):
-            (_, _, _, _, _, _, failed_), _, pending = c
+            _, _, pending = c
             return pending
 
         def retry_body(c):
             res, (xreg, ureg), _ = c
-            xreg_n = jnp.minimum(xreg * regfactor, regmax)
-            aborted = xreg_n >= regmax
-            res_n = bp(xreg_n, xreg_n)
-            failed_n = res_n[-1]
-            pending = failed_n & ~aborted
-            return res_n, (xreg_n, xreg_n), pending
+            dtt = xreg.dtype
+            ks = jnp.arange(1, n_dec + 1, dtype=dtt)
+            cands = jnp.minimum(xreg * regfactor ** ks, regmax)
+            fails = jax.vmap(bp_probe)(cands)         # (n_dec,) bool
+            ok = ~fails
+            idx = jnp.argmax(ok)                      # first success
+            reg_new = jnp.where(ok.any(), cands[idx],
+                                jnp.asarray(s.regmax, dtt))
+            res_n = bp(reg_new, reg_new)
+            return res_n, (reg_new, reg_new), jnp.zeros((), bool)
 
         init = ((Vx, Vxx, Qu, kvec, K, Quuk, failed), (st_.xreg, st_.ureg),
                 failed & ~(st_.xreg >= regmax))

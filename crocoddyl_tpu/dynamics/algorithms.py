@@ -209,11 +209,13 @@ class KinData:
         return self.Jcols.T[None, :, :] * self.amask[:, None, :]
 
     def mass_matrix(self, armature=None):
-        """M = Σ_i J_iᵀ I_i J_i (kinetic-energy identity; replaces CRBA)."""
+        """M = Σ_i J_iᵀ I_i J_i (kinetic-energy identity; replaces CRBA).
+
+        Kept as broadcast-multiply-reduce: einsum/dot_general here (stacked
+        vmap batch dims under jacfwd) still trips the XLA TPU
+        simplification-pass verifier bug noted in spatial.py."""
         Jw = self.joint_jacobians_world()
         Iw = self.I_w.to_matrix()                     # (nj, 6, 6)
-        # (i,c,v),(i,c,d)->(i,d,v); then (i,d,v),(i,d,w)->(v,w); mul-reduce
-        # keeps every contraction off dot_general (see spatial.py docstring)
         T1 = (Jw[:, :, None, :] * Iw[:, :, :, None]).sum(1)
         M = (T1[:, :, :, None] * Jw[:, :, None, :]).sum((0, 1))
         if armature is not None:

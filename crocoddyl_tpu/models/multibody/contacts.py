@@ -21,6 +21,10 @@ from flax import struct
 
 from ...dynamics import lie
 from ...dynamics.spatial import Transform
+# NOTE: the unrolled smallchol kernels are NOT used here: this code runs
+# inside the 48-tangent jacfwd region of calc_diff, where the unrolled ops
+# defeat XLA's rematerialization and blow past HBM at benchmark batch sizes
+# (observed 23G > 15.75G).  The backward pass (small graph) does use them.
 
 
 class Contact3D(struct.PyTreeNode):
@@ -206,6 +210,5 @@ def _pd_solve_jvp(primals, tangents):
         return (jnp.zeros_like(like)
                 if isinstance(t, jax.custom_derivatives.SymbolicZero) else t)
 
-    da = jax.scipy.linalg.cho_solve(
-        (L, True), z(drhs, rhs) - z(dM, M) @ a)
+    da = jax.scipy.linalg.cho_solve((L, True), z(drhs, rhs) - z(dM, M) @ a)
     return a, da

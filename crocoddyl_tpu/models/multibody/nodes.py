@@ -31,6 +31,7 @@ from ...core.action import ActionModel, NodeDerivs
 from ...dynamics import algorithms as algo
 from ...dynamics.states import StateMultibody
 from .actuations import Actuation
+from ...ops import smallchol as _sc
 from .contacts import ContactSet, pd_solve, solve_contact_kkt
 from .costs import Cost, cost_nr
 
@@ -390,13 +391,13 @@ class ImpulseNode(ActionModel):
         # Schur-complement Cholesky solve of the impulse KKT (TPU-friendly;
         # see contacts.solve_contact_kkt):  S Λ = −(1+e)·J v⁻ with
         # S = J M⁻¹ Jᵀ + damping·I, then v⁺ = v⁻ + M⁻¹ Jᵀ Λ.
-        Lm = jnp.linalg.cholesky(M)
-        MinvJT = jax.scipy.linalg.cho_solve((Lm, True), Jc.T)
+        Lm = _sc.chol(M)
+        MinvJT = _sc.cho_solve(Lm, Jc.T)
         S = Jc @ MinvJT + self.kkt_damping * jnp.eye(nc, dtype=dt)
         S = S * (mask[:, None] * mask[None, :]) + jnp.diag(1.0 - mask)
         b_lam = -(1.0 + e) * (Jc @ v) * mask
-        Ls = jnp.linalg.cholesky(S)
-        Lam = jax.scipy.linalg.cho_solve((Ls, True), b_lam)
+        Ls = _sc.chol(S)
+        Lam = _sc.cho_solve(Ls, b_lam)
         vnext = v + MinvJT @ Lam
         forces = [Lam[i:i + c.nc]
                   for (i, _), c in zip(self.impulses.slices(),

@@ -132,3 +132,30 @@ EXAMPLES = {
     "humanoid_taichi": humanoid_taichi,
     "bipedal_walk_cop": bipedal_walk_cop,
 }
+
+
+def arm_manipulation_trajectory():
+    import arm_manipulation_trajectory as ex
+    return _sol_of(ex.main())
+
+
+def bipedal_walk_changing_gait():
+    """Reduced two-phase variant (runtime)."""
+    import bipedal_walk_changing_gait as ex
+    return _sol_of(ex.main(phases=[
+        dict(step_length=0.4, step_height=0.1, dt=0.03,
+             step_knots=8, support_knots=3),
+        dict(step_length=0.6, step_height=0.1, dt=0.03,
+             step_knots=8, support_knots=3)]))
+
+
+def humanoid_manipulation_ubound():
+    import humanoid_manipulation_ubound as ex
+    return _sol_of(ex.main())
+
+
+EXAMPLES.update({
+    "arm_manipulation_trajectory": arm_manipulation_trajectory,
+    "bipedal_walk_changing_gait": bipedal_walk_changing_gait,
+    "humanoid_manipulation_ubound": humanoid_manipulation_ubound,
+})

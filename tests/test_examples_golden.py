@@ -25,7 +25,9 @@ else:  # pragma: no cover — before first record_golden.py run
 # heavy configs → their own slow lane; everything else runs in the suite
 _HEAVY = {"humanoid_taichi", "bipedal_walk", "quadrupedal_walking",
           "quadrupedal_walk_ubound", "bipedal_walk_cop",
-          "humanoid_manipulation", "boxfddp_vs_boxddp"}
+          "humanoid_manipulation", "boxfddp_vs_boxddp",
+          "arm_manipulation_trajectory", "bipedal_walk_changing_gait",
+          "humanoid_manipulation_ubound"}
 
 
 @pytest.mark.parametrize("name", sorted(set(EXAMPLES) - _HEAVY))

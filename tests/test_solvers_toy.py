@@ -113,3 +113,54 @@ def test_batched_solve_vmap():
         assert int(sols.iter[i]) == oracle.iter
         np.testing.assert_allclose(np.asarray(sols.cost[i]), oracle.cost,
                                    rtol=1e-9)
+
+
+def test_diff_lqr_derivatives_vs_numdiff():
+    """Continuous-time LQR + Euler (diff-lqr.hxx:46-80 over euler.hxx):
+    closed-form calc_diff matches the shared FD oracle."""
+    from crocoddyl_tpu.models.lqr import diff_lqr_model
+    from crocoddyl_tpu.utils.numdiff import numdiff_action
+
+    m = diff_lqr_model(nq=3, nu=2, dt=0.1)
+    x = jnp.asarray(np.linspace(-0.5, 0.8, 6))
+    u = jnp.asarray([0.3, -0.2])
+    d = m.calc_diff(x, u)
+    nd = numdiff_action(m, x, u, h=1e-6)
+    np.testing.assert_allclose(np.asarray(d.Fx), np.asarray(nd.Fx), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d.Fu), np.asarray(nd.Fu), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d.Lx), np.asarray(nd.Lx), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d.Lu), np.asarray(nd.Lu), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d.Lxx), np.asarray(nd.Lxx),
+                               atol=1e-3)
+
+
+def test_diff_lqr_euler_consistency():
+    """dt→0 limit: the integrated step approaches x + dt·[v; a] (the
+    semi-implicit term dt² vanishes), and the dt=0 node is terminal."""
+    from crocoddyl_tpu.models.lqr import diff_lqr_model
+
+    x = jnp.asarray(np.linspace(-0.5, 0.8, 6))
+    u = jnp.asarray([0.3, -0.2])
+    m1 = diff_lqr_model(nq=3, nu=2, dt=1e-6)
+    xn, _ = m1.calc(x, u)
+    a = np.asarray(m1._xout(x, u))
+    expect = np.asarray(x) + 1e-6 * np.concatenate([np.asarray(x[3:]), a])
+    np.testing.assert_allclose(np.asarray(xn), expect, atol=1e-10)
+    m0 = diff_lqr_model(nq=3, nu=2, dt=0.0)
+    xn0, c0 = m0.calc(x, u)
+    np.testing.assert_allclose(np.asarray(xn0), np.asarray(x), atol=0)
+    np.testing.assert_allclose(float(c0), float(m0._cost_rate(x, u)))
+
+
+def test_diff_lqr_fddp_converges():
+    """FDDP on the continuous LQR (one-iteration exactness on a quadratic
+    problem with linear dynamics after feasibility)."""
+    from crocoddyl_tpu.models.lqr import diff_lqr_model
+
+    m = diff_lqr_model(nq=4, nu=4, dt=0.05)
+    prob = ShootingProblem(x0=jnp.full((8,), 0.3),
+                           running=replicate_model(m, 30),
+                           terminal=m.replace(dt=jnp.zeros(())))
+    sol = solve(prob, settings=SolverSettings(maxiter=20, record_trace=False))
+    assert bool(sol.converged)
+    assert np.all(np.isfinite(np.asarray(sol.us)))
