@@ -26,6 +26,7 @@ from crocoddyl_tpu.models.multibody.costs import (
     CostControl, CostFramePlacement, CostFrameTranslation, CostState)
 from crocoddyl_tpu.models.multibody.nodes import (
     CostStack, ImpulseNode, RigidBodyNode)
+from crocoddyl_tpu.utils.numdiff import numdiff_fxlx as numdiff_node
 
 one = jnp.ones(())
 
@@ -42,29 +43,6 @@ def make_free_node(rmodel, dt=0.05, xref=None, w_x=1e-1, w_u=1e-3):
     ))
     return RigidBodyNode(state_=st, actuation=act, costs=costs,
                          dt=jnp.asarray(dt))
-
-
-def numdiff_node(node, x, u, h=1e-6):
-    """Finite-difference Fx/Fu/Lx/Lu oracle in tangent coordinates
-    (core/numdiff/action.hxx construction)."""
-    st = node.state
-    xn0, c0 = node.calc(x, u)
-    ndx, nu = st.ndx, node.nu
-    Fx = np.zeros((ndx, ndx))
-    Fu = np.zeros((ndx, nu))
-    Lx = np.zeros(ndx)
-    Lu = np.zeros(nu)
-    for i in range(ndx):
-        dx = jnp.zeros(ndx).at[i].set(h)
-        xn, c = node.calc(st.integrate(x, dx), u)
-        Fx[:, i] = np.asarray(st.diff(xn0, xn)) / h
-        Lx[i] = (float(c) - float(c0)) / h
-    for i in range(nu):
-        du = jnp.zeros(nu).at[i].set(h)
-        xn, c = node.calc(x, u + du)
-        Fu[:, i] = np.asarray(st.diff(xn0, xn)) / h
-        Lu[i] = (float(c) - float(c0)) / h
-    return Fx, Fu, Lx, Lu
 
 
 @pytest.mark.parametrize("robot", ["double_pendulum", "arm7"])
