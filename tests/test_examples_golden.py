@@ -27,7 +27,8 @@ _HEAVY = {"humanoid_taichi", "bipedal_walk", "quadrupedal_walking",
           "quadrupedal_walk_ubound", "bipedal_walk_cop",
           "humanoid_manipulation", "boxfddp_vs_boxddp",
           "arm_manipulation_trajectory", "bipedal_walk_changing_gait",
-          "humanoid_manipulation_ubound"}
+          "humanoid_manipulation_ubound", "arm_manipulation",
+          "cartpole_swingup"}
 
 
 @pytest.mark.parametrize("name", sorted(set(EXAMPLES) - _HEAVY))
