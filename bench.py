@@ -34,10 +34,13 @@ import jax
 import jax.numpy as jnp
 
 # v5e peak: 197 TFLOP/s bf16; f32 on the MXU runs at half rate.  Used only
-# for the (approximate) MFU line in BENCH_DETAIL.
-PEAK_FLOPS = {"TPU v5 lite": 98.5e12, "TPU v5": 229.5e12,
-              "TPU v4": 137.5e12}.get(
-    jax.devices()[0].device_kind if jax.devices() else "", 98.5e12)
+# for the (approximate) MFU line in BENCH_DETAIL.  Lazy: touching
+# jax.devices() at import would pin the backend before the scaling worker
+# can force CPU (the axon TPU plugin ignores JAX_PLATFORMS=cpu).
+def _peak_flops():
+    return {"TPU v5 lite": 98.5e12, "TPU v5": 229.5e12,
+            "TPU v4": 137.5e12}.get(
+        jax.devices()[0].device_kind if jax.devices() else "", 98.5e12)
 
 
 def quadruped_problem(dtype=jnp.float32):
@@ -85,7 +88,59 @@ def _perturbed_x0s(prob, x0, B, dtype, which):
     return x0[None] + noise
 
 
+def _scaling_points():
+    """solves/s at 1/2/4/8 mesh devices (subprocess per point: the device
+    count is fixed at backend init).  Unicycle problem keeps the CPU lane
+    fast; the sharded program is the same `sharded_solve_x0` path a real
+    multi-chip mesh runs."""
+    import subprocess
+    out = {}
+    for n in (1, 2, 4, 8):
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS=f"--xla_force_host_platform_device_count={n}",
+                   BENCH_SCALING_WORKER=str(n))
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           timeout=600)
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+        try:
+            out[str(n)] = json.loads(line).get("solves_per_s")
+        except json.JSONDecodeError:
+            out[str(n)] = None
+    return out
+
+
+def _scaling_worker(n: int):
+    # force the host-CPU backend BEFORE any device use: on this machine the
+    # axon TPU plugin ignores JAX_PLATFORMS=cpu (see .claude/skills/verify)
+    jax.config.update("jax_platforms", "cpu")
+    from crocoddyl_tpu.core.solvers.fddp import SolverSettings, solve
+    from crocoddyl_tpu.parallel import mesh as pmesh
+
+    dtype = jnp.float32
+    prob, x0 = unicycle_problem(dtype)
+    B = int(os.environ.get("BENCH_SCALING_B", "512"))
+    settings = SolverSettings(maxiter=20, record_trace=False,
+                              parallel_linesearch=False)
+    mesh = pmesh.data_mesh(n)
+    run = pmesh.sharded_solve_x0(lambda p: solve(p, settings=settings),
+                                 prob, mesh)
+    key = jax.random.PRNGKey(0)
+    x0s = x0[None] + 0.1 * jax.random.normal(key, (B, 3), dtype)
+    x0s = pmesh.shard_batch(x0s, mesh)
+    run(x0s).cost.block_until_ready()
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        run(x0s).cost.block_until_ready()
+    dt_s = (time.perf_counter() - t0) / reps
+    print(json.dumps({"devices": n, "solves_per_s": round(B / dt_s, 2)}))
+
+
 def main():
+    if os.environ.get("BENCH_SCALING_WORKER"):
+        _scaling_worker(int(os.environ["BENCH_SCALING_WORKER"]))
+        return
     from crocoddyl_tpu.core.solvers import fddp
     from crocoddyl_tpu.core.solvers.fddp import SolverSettings, solve
 
@@ -149,7 +204,7 @@ def main():
             flops = float(ca.get("flops", 0.0))
             aux["model_tflops_per_step"] = round(flops / 1e12, 4)
             aux["model_flops_per_s"] = round(flops / dt_s / 1e12, 3)
-            aux["mfu_pct"] = round(100.0 * flops / dt_s / PEAK_FLOPS, 3)
+            aux["mfu_pct"] = round(100.0 * flops / dt_s / _peak_flops(), 3)
             mem = compiled.memory_analysis()
             if mem is not None:
                 aux["hbm_temp_gb"] = round(
@@ -202,6 +257,17 @@ def main():
                 aux.update(stage_times())
             except Exception as e:  # pragma: no cover
                 aux["stage_error"] = str(e)
+
+        # ---- virtual-device scaling points (BASELINE.md §3) ---------------
+        # Batched solves sharded over a 1/2/4/8-device mesh.  On this single-
+        # chip host the mesh is XLA's virtual CPU devices, so the numbers
+        # validate the sharded program (same code path as a real pod slice),
+        # not hardware scaling — they share the host's cores.
+        if os.environ.get("BENCH_SCALING", "1") != "0":
+            try:
+                aux["scaling_virtual_cpu"] = _scaling_points()
+            except Exception as e:  # pragma: no cover
+                aux["scaling_error"] = str(e)
 
         print(json.dumps(aux), file=sys.stderr)
         try:
