@@ -18,8 +18,12 @@ from XLA cost analysis, and a small-batch p50 MPC replan latency.
 
 Env knobs: BENCH_B (batch, default 128), BENCH_MAXITER (default 1),
 BENCH_REPS (default 3), BENCH_PROBLEM=quadruped|unicycle,
-BENCH_DETAIL=1 to emit the auxiliary metrics (several extra compiles), BENCH_PR=1 to use the
-horizon-parallel Riccati backward pass.
+BENCH_DETAIL=1 to emit the auxiliary metrics (several extra compiles),
+BENCH_PR=1 to use the horizon-parallel Riccati backward pass,
+BENCH_STAGES=0 to skip the per-stage split, BENCH_SCALING=1 to run the
+1/2/4/8-virtual-device scaling points (opt-in: up to 4 subprocesses x
+600 s on a cold compile cache; BENCH_SCALING_B sets their batch,
+BENCH_SCALING_WORKER is internal).
 """
 
 import json
@@ -96,17 +100,23 @@ def _scaling_points():
     import subprocess
     out = {}
     for n in (1, 2, 4, 8):
-        env = dict(os.environ, JAX_PLATFORMS="cpu",
-                   XLA_FLAGS=f"--xla_force_host_platform_device_count={n}",
+        xla = (os.environ.get("XLA_FLAGS", "")
+               + f" --xla_force_host_platform_device_count={n}").strip()
+        env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS=xla,
                    BENCH_SCALING_WORKER=str(n))
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env=env, capture_output=True, text=True,
-                           timeout=600)
-        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
         try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               timeout=600)
+            line = (r.stdout.strip().splitlines()[-1]
+                    if r.stdout.strip() else "{}")
             out[str(n)] = json.loads(line).get("solves_per_s")
-        except json.JSONDecodeError:
-            out[str(n)] = None
+            if out[str(n)] is None and r.returncode != 0:
+                out[f"{n}_error"] = (r.stderr or "")[-300:]
+        except subprocess.TimeoutExpired:
+            out[f"{n}_error"] = "timeout"
+        except (json.JSONDecodeError, OSError) as e:
+            out[f"{n}_error"] = str(e)[:300]
     return out
 
 
@@ -213,15 +223,38 @@ def main():
             aux["cost_analysis_error"] = str(e)
 
         # ---- small-batch MPC replan latency (p50) -------------------------
-        x0s_1 = _perturbed_x0s(prob, x0, 1, dtype, which)
-        run1 = jax.jit(run_fn)
-        run1(x0s_1).block_until_ready()
-        lats = []
-        for _ in range(10):
-            t0 = time.perf_counter()
+        # measured twice: sequential Riccati and the horizon-parallel
+        # (associative-scan) Riccati — the backward pass is the latency
+        # lever at B=1 (PERF_NOTES; parallel_riccati.py)
+        def latency_p50(pr):
+            st_lat = SolverSettings(
+                maxiter=maxiter, record_trace=False,
+                parallel_linesearch=False, parallel_riccati=pr)
+
+            def run_lat(x0s):
+                def one(x0_i):
+                    s = solve(prob.replace(x0=x0_i), xs_init=xs0,
+                              us_init=us0, settings=st_lat)
+                    return s.cost
+                return jax.vmap(one)(x0s)
+
+            x0s_1 = _perturbed_x0s(prob, x0, 1, dtype, which)
+            run1 = jax.jit(run_lat)
             run1(x0s_1).block_until_ready()
-            lats.append((time.perf_counter() - t0) * 1e3)
-        aux["replan_latency_b1_p50_ms"] = round(float(np.median(lats)), 3)
+            lats = []
+            for _ in range(10):
+                t0 = time.perf_counter()
+                run1(x0s_1).block_until_ready()
+                lats.append((time.perf_counter() - t0) * 1e3)
+            return round(float(np.median(lats)), 3)
+
+        aux["replan_latency_b1_p50_ms"] = latency_p50(
+            settings.parallel_riccati)
+        if not settings.parallel_riccati:
+            try:
+                aux["replan_latency_b1_pr_p50_ms"] = latency_p50(True)
+            except Exception as e:  # pragma: no cover
+                aux["latency_pr_error"] = str(e)[:300]
 
         # ---- per-stage split (calc_diff / backward / forward) -------------
         def stage_times():
@@ -263,7 +296,7 @@ def main():
         # chip host the mesh is XLA's virtual CPU devices, so the numbers
         # validate the sharded program (same code path as a real pod slice),
         # not hardware scaling — they share the host's cores.
-        if os.environ.get("BENCH_SCALING", "1") != "0":
+        if os.environ.get("BENCH_SCALING", "0") == "1":
             try:
                 aux["scaling_virtual_cpu"] = _scaling_points()
             except Exception as e:  # pragma: no cover

@@ -38,10 +38,18 @@ def main():
     xs = xs + 0.01 * jax.random.normal(key, xs.shape, dtype)
     us = 0.1 * jax.random.normal(key, (B, T, prob.nu), dtype)
 
-    # one representative running node (the first segment's model stack)
-    seg = prob.segments[0]
+    # one representative running node: pick the LONGEST segment (the swing
+    # phase, 100 of 108 knots: 3 active contacts + swing-foot tracking) —
+    # profiling the 2-knot double-support segment would misattribute the
+    # calc_diff time.  PROFILE_SEG=support selects the first segment instead.
+    def _len(s):
+        return jax.tree.leaves(s)[0].shape[0]
+    if os.environ.get("PROFILE_SEG", "swing") == "support":
+        seg = prob.segments[0]
+    else:
+        seg = max(prob.segments, key=_len)
     m0 = jax.tree.map(lambda a: a[0] if hasattr(a, "ndim") and a.ndim and
-                      a.shape[0] == seg.dt.shape[0] else a, seg)
+                      a.shape[0] == _len(seg) else a, seg)
 
     def kin_primal(x, u):
         from crocoddyl_tpu.dynamics import algorithms as algo

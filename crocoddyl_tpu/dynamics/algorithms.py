@@ -30,7 +30,7 @@ a single (q, v) — batch with vmap.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import List, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -77,7 +77,18 @@ def _tree_meta(parents: Tuple[int, ...], joint_types: Tuple[int, ...],
     for j in range(nj):
         n = 6 if JointType(joint_types[j]) == JointType.FREE_FLYER else 1
         dof_joint[v_off[j]:v_off[j] + n] = j
-    return levels, tuple(v_off), nv, amask, dof_joint
+    # level-order (BFS) permutation for the scatter-free sweep: joints in
+    # level-concatenation order, its inverse, and each joint's parent's
+    # POSITION within the previous level (a tree parent is always exactly
+    # one level up).
+    perm = [i for lvl in levels for i in lvl]
+    inv_perm = np.argsort(np.asarray(perm))
+    par_pos = []
+    for d in range(1, len(levels)):
+        prev = {j: k for k, j in enumerate(levels[d - 1])}
+        par_pos.append(tuple(prev[parents[i]] for i in levels[d]))
+    return (levels, tuple(v_off), nv, amask, dof_joint,
+            tuple(perm), inv_perm, tuple(par_pos))
 
 
 def _meta(model: RobotModel):
@@ -95,7 +106,7 @@ def _stacked_setup(model: RobotModel, q, v):
     built by ModelBuilder satisfy this)."""
     dt = q.dtype
     nj = model.njoints
-    levels, v_off, nv, amask, dof_joint = _meta(model)
+    levels, v_off, nv, amask, dof_joint, _, _, _ = _meta(model)
     types = [JointType(t) for t in model.joint_types]
     has_ff = types[0] == JointType.FREE_FLYER
     assert all(t != JointType.FREE_FLYER for t in types[1:]), \
@@ -120,16 +131,8 @@ def _stacked_setup(model: RobotModel, q, v):
                          jnp.concatenate([jnp.zeros_like(axis), axis], -1),
                          jnp.concatenate([axis, jnp.zeros_like(axis)], -1))
         vJ_1 = S6_1 * vj[:, None]                   # (k, 6)
-    # --- assemble stacked arrays -----------------------------------------
-    R_pl = jnp.broadcast_to(jnp.eye(3, dtype=dt), (nj, 3, 3))
-    p_pl = jnp.zeros((nj, 3), dt)
-    S6 = jnp.zeros((nj, 6), dt)
-    vJ = jnp.zeros((nj, 6), dt)
-    if has_ff:
-        Rff = lie.quat_to_rot(q[3:7])
-        R_pl = R_pl.at[0].set(mm(model.jp_R[0], Rff))
-        p_pl = p_pl.at[0].set(model.jp_p[0] + mv(model.jp_R[0], q[:3]))
-        vJ = vJ.at[0].set(v[:6])
+    # --- assemble stacked arrays (scatter-free: the free flyer is joint 0
+    # and the 1-dof joints are the contiguous rest, so rows concatenate) ----
     if one_ids:
         oi = jnp.asarray(one_ids)
         Rtree = model.jp_R[oi]
@@ -137,13 +140,46 @@ def _stacked_setup(model: RobotModel, q, v):
         # plain matmul (not einsum): einsum's dot_general with stacked batch
         # dims trips an XLA simplification-pass verifier bug under
         # vmap∘vmap∘jacfwd (observed on both the CPU and TPU backends)
-        R_pl = R_pl.at[oi].set(mm(Rtree, R_J))
-        p_pl = p_pl.at[oi].set(ptree + mv(Rtree, p_J))
-        S6 = S6.at[oi].set(S6_1)
-        vJ = vJ.at[oi].set(vJ_1)
-    if not has_ff and not one_ids:
+        R_1 = mm(Rtree, R_J)
+        p_1 = ptree + mv(Rtree, p_J)
+    if has_ff:
+        Rff = lie.quat_to_rot(q[3:7])
+        ff_R = mm(model.jp_R[0], Rff)[None]
+        ff_p = (model.jp_p[0] + mv(model.jp_R[0], q[:3]))[None]
+        ff_S6 = jnp.zeros((1, 6), dt)
+        ff_vJ = v[None, :6]
+        if one_ids:
+            R_pl = jnp.concatenate([ff_R, R_1])
+            p_pl = jnp.concatenate([ff_p, p_1])
+            S6 = jnp.concatenate([ff_S6, S6_1])
+            vJ = jnp.concatenate([ff_vJ, vJ_1])
+        else:
+            R_pl, p_pl, S6, vJ = ff_R, ff_p, ff_S6, ff_vJ
+    elif one_ids:
+        R_pl, p_pl, S6, vJ = R_1, p_1, S6_1, vJ_1
+    else:
         raise ValueError("empty model")
     return Transform(R_pl, p_pl), S6, vJ
+
+
+class KinArrays(NamedTuple):
+    """The differentiable array outputs of one KinData sweep.
+
+    This is the linearization seam of the analytic node-derivative path
+    (models/multibody/nodes.py:_tangent_outputs): the kinematic sweep is
+    linearized ONCE into these arrays, and every downstream dynamics /
+    residual tangent is a cheap contraction of them — the TPU analogue of
+    the reference's computeRNEADerivatives + KKT-inverse derivative chain
+    (contact-fwddyn.hxx:126-159)."""
+
+    oR: jnp.ndarray        # (nj, 3, 3) world joint rotations
+    op: jnp.ndarray        # (nj, 3) world joint origins
+    vels: jnp.ndarray      # (nj, 6) joint-local spatial velocities
+    biasacc: jnp.ndarray   # (nj, 6) joint-local bias accelerations
+    Jcols: jnp.ndarray     # (nv, 6) world Jacobian columns
+    vel_w: jnp.ndarray     # (nj, 6) world spatial velocities
+    Iw_c: jnp.ndarray      # (nj, 3) world com positions
+    Iw_Ic: jnp.ndarray     # (nj, 3, 3) world rotational inertias
 
 
 class KinData:
@@ -152,35 +188,76 @@ class KinData:
     One sweep shared by contacts/costs/dynamics (the role of pinocchio
     computeAllTerms + getFrameJacobian in contact-fwddyn.hxx:59-99)."""
 
+    @classmethod
+    def from_arrays(cls, model: RobotModel, q, v, arrays: "KinArrays"):
+        """Rebuild a KinData view from precomputed sweep outputs (no sweep).
+
+        Used by the analytic node-derivative path so tangent evaluations
+        reuse the linearized sweep instead of re-differentiating it."""
+        self = cls.__new__(cls)
+        self.model = model
+        self.q, self.v = q, v
+        _, _, _, amask_np, _, _, _, _ = _meta(model)
+        self.amask = jnp.asarray(amask_np, q.dtype)
+        self.oMi = Transform(arrays.oR, arrays.op)
+        self.vels = arrays.vels
+        self.biasacc = arrays.biasacc
+        self.Jcols = arrays.Jcols
+        self.vel_w = arrays.vel_w
+        self.I_w = Inertia(m=model.mass, c=arrays.Iw_c, I_c=arrays.Iw_Ic)
+        return self
+
+    def arrays(self) -> "KinArrays":
+        return KinArrays(oR=self.oMi.R, op=self.oMi.p, vels=self.vels,
+                         biasacc=self.biasacc, Jcols=self.Jcols,
+                         vel_w=self.vel_w, Iw_c=self.I_w.c, Iw_Ic=self.I_w.I_c)
+
     def __init__(self, model: RobotModel, q, v):
         self.model = model
         self.q, self.v = q, v
         dt = q.dtype
         nj = model.njoints
-        levels, v_off, nv, amask_np, dof_joint = _meta(model)
+        (levels, v_off, nv, amask_np, dof_joint,
+         perm, inv_perm, par_pos) = _meta(model)
         self.amask = jnp.asarray(amask_np, dt)          # (nj, nv)
         Xpl, S6, vJ = _stacked_setup(model, q, v)
         self.Xpl = Xpl
         Xup = Xpl.inverse()
         self.Xup = Xup
 
-        # level-synchronous FK: placements, local velocities, local bias accs
+        # level-synchronous FK, SCATTER-FREE: each level's rows are computed
+        # from gathers out of the previous level only (a tree parent is one
+        # level up), the per-level slices are concatenated in level order,
+        # and one inverse-permutation gather restores joint order — no
+        # .at[].set scatters anywhere in the sweep (scatters under the
+        # jacfwd tangent pass were a measured hot spot).
         R = Xpl.R
         p = Xpl.p
-        oR, op_ = R, p           # level-0 joints are already world-placed
-        vel = vJ
-        bias = cross_motion(vel, vJ)
-        for lvl in levels[1:]:
+        i0 = jnp.asarray(levels[0])
+        oR_ls = [R[i0]]
+        op_ls = [p[i0]]
+        vel_ls = [vJ[i0]]
+        bias_ls = [cross_motion(vJ[i0], vJ[i0])]
+        for d, lvl in enumerate(levels[1:]):
             idx = jnp.asarray(lvl)
-            par = jnp.asarray([model.parents[i] for i in lvl])
-            Rp, pp = oR[par], op_[par]
-            oR = oR.at[idx].set(mm(Rp, R[idx]))
-            op_ = op_.at[idx].set(pp + mv(Rp, p[idx]))
+            pp = jnp.asarray(par_pos[d])
+            Rp, ppt = oR_ls[-1][pp], op_ls[-1][pp]
             Xup_l = Transform(Xup.R[idx], Xup.p[idx])
-            v_l = Xup_l.act_motion(vel[par]) + vJ[idx]
-            vel = vel.at[idx].set(v_l)
-            bias = bias.at[idx].set(Xup_l.act_motion(bias[par])
-                                    + cross_motion(v_l, vJ[idx]))
+            v_l = Xup_l.act_motion(vel_ls[-1][pp]) + vJ[idx]
+            oR_ls.append(mm(Rp, R[idx]))
+            op_ls.append(ppt + mv(Rp, p[idx]))
+            vel_ls.append(v_l)
+            bias_ls.append(Xup_l.act_motion(bias_ls[-1][pp])
+                           + cross_motion(v_l, vJ[idx]))
+        inv = jnp.asarray(inv_perm)
+        if len(oR_ls) == 1:
+            oR, op_ = oR_ls[0], op_ls[0]
+            vel, bias = vel_ls[0], bias_ls[0]
+        else:
+            oR = jnp.concatenate(oR_ls)[inv]
+            op_ = jnp.concatenate(op_ls)[inv]
+            vel = jnp.concatenate(vel_ls)[inv]
+            bias = jnp.concatenate(bias_ls)[inv]
         self.oMi = Transform(oR, op_)    # stacked (nj,)
         self.vels = vel                  # (nj, 6) joint-local
         self.biasacc = bias              # (nj, 6) joint-local, q̈=0, no gravity
@@ -188,11 +265,14 @@ class KinData:
         # world Jacobian columns: (nv, 6); column v = world spatial velocity
         # of unit q̇_v
         cols_j = self.oMi.act_motion(S6)             # (nj, 6) 1-dof columns
-        cols = jnp.take(cols_j, jnp.asarray(dof_joint), axis=0)  # (nv, 6)
         if JointType(model.joint_types[0]) == JointType.FREE_FLYER:
             X0 = Transform(oR[0], op_[0])
             ff_cols = X0.act_motion(jnp.eye(6, dtype=dt))  # (6, 6) rows=basis
-            cols = cols.at[:6].set(ff_cols)
+            cols = jnp.concatenate(
+                [ff_cols,
+                 jnp.take(cols_j, jnp.asarray(dof_joint[6:]), axis=0)])
+        else:
+            cols = jnp.take(cols_j, jnp.asarray(dof_joint), axis=0)
         self.Jcols = cols                             # (nv, 6)
 
         # world-frame body spatial quantities (for M/b contractions)
@@ -221,6 +301,20 @@ class KinData:
         if armature is not None:
             M = M + jnp.diag(armature)
         return M
+
+    def mass_matrix_vec(self, a):
+        """M(q)·a WITHOUT building M — vector intermediates only.
+
+        M·a = Σ_i J_iᵀ I_i (J_i a); the per-joint spatial velocity J_i·a is
+        (nj, 6), so differentiating this (the ``dM·a`` term of the KKT
+        tangent, contact-fwddyn.hxx:132-147) never materializes the
+        (nj, 6, 6, nv) mass-contraction intermediates that AD through
+        ``mass_matrix`` would."""
+        u = self.Jcols * a[:, None]                          # (nv, 6)
+        Ja = (u[None, :, :] * self.amask[:, :, None]).sum(1)  # (nj, 6)
+        f = self.I_w.mul_motion(Ja)                          # (nj, 6)
+        fb = (f[:, None, :] * self.amask[:, :, None])        # (nj, nv, 6)
+        return (fb * self.Jcols[None, :, :]).sum((0, 2))     # (nv,)
 
     def bias_forces(self, fext_local=None):
         """b(q, v) = Σ_i J_iᵀ (I_i(a_bias_i − g) + v_i ×* I_i v_i)
@@ -376,7 +470,7 @@ def rnea(model: RobotModel, q, v, a, fext: Optional[jnp.ndarray] = None):
     fext: optional (njoints, 6) external forces in each JOINT-LOCAL frame."""
     dt = q.dtype
     nj = model.njoints
-    levels, v_off, nv, _, dof_joint = _meta(model)
+    levels, v_off, nv, _, dof_joint, _, _, _ = _meta(model)
     Xpl, S6, vJ = _stacked_setup(model, q, v)
     Xup = Xpl.inverse()
     has_ff = JointType(model.joint_types[0]) == JointType.FREE_FLYER

@@ -32,7 +32,8 @@ from ...dynamics import algorithms as algo
 from ...dynamics.states import StateMultibody
 from .actuations import Actuation
 from ...ops import smallchol as _sc
-from .contacts import ContactSet, pd_solve, solve_contact_kkt
+from .contacts import (ContactSet, _contact_kkt_raw, pd_solve,
+                       solve_contact_kkt)
 from .costs import Cost, cost_nr
 
 
@@ -205,25 +206,34 @@ class RigidBodyNode(ActionModel):
 
     # ------------------------------------------------------------------
     def _tangent_outputs(self, x, u):
-        """(Fx, Fu, R, Rx, Ru) — ONE forward-mode linearization.
+        """(Fx, Fu, R, Rx, Ru) — analytic-structure forward linearization.
 
-        The node is differentiated in two stages (matching the reference's
-        structure, euler.hxx:83-131 over contact-fwddyn.hxx:107-159, instead
-        of one AD pass over the whole fused node):
+        Mirrors the reference's derivative chain (euler.hxx:83-131 over
+        contact-fwddyn.hxx:107-159) rather than AD over the fused node:
 
-        1. ``jacfwd`` of the CONTINUOUS quantities only — (a, R) as a
-           function of tangent (dx, du).  The contact-KKT / free-dynamics
-           solves inside carry implicit-diff custom JVPs, so the tangent
-           pass reuses the primal factorizations; the primal comes back as
-           the aux output (no re-evaluation).
-        2. Closed-form Euler chain rule through the manifold retraction:
+        1. The kinematic sweep is linearized ONCE (``jax.linearize``,
+           ndx tangents) into :class:`~..dynamics.algorithms.KinArrays`.
+        2. The dynamics tangents come from the KKT differential at the
+           primal solution: only the contracted VECTORS d(M·a), db,
+           d(Jcᵀ)·λ, d(Jc)·a, da0 are formed (the reference's
+           computeRNEADerivatives + getKKTContactDynamicMatrixInverse
+           path) and all ndx+nu directions are back-substituted through
+           the primal Cholesky factorizations in one multi-RHS solve —
+           dM/dJc are never materialized and the factorizations are never
+           differentiated.
+        3. Residual Jacobians = sweep-tangent contractions + the force
+           chain term (∂R/∂λ)·dλ (the reference's df_dx/df_du coupling).
+        4. Closed-form Euler chain rule through the manifold retraction:
            xnext = x ⊕ dstep with dstep = [v·dt + a·dt²; a·dt], so
            Fx = Jint_x + Jint_dx · d(dstep)/ddx with the closed-form
            free-flyer Jintegrate blocks (states.py) — AD never sees
            integrate/diff/quaternions on the output side.
 
-        The dt=0 terminal/pseudo-impulse node (xnext = x) gives Fx = I,
-        Fu = 0 exactly (euler.hxx:64-74).
+        Contract: cost residuals may depend on x, u, the kinematic sweep
+        outputs and the contact forces — not on ``cache.a``/``cache.tau``
+        (true of the whole cost zoo, as in the reference's DataCollector
+        wiring).  The dt=0 terminal/pseudo-impulse node (xnext = x) gives
+        Fx = I, Fu = 0 exactly (euler.hxx:64-74).
         """
         st = self.state_
         nv, ndx, nu = st.nv, st.ndx, self.nu
@@ -243,19 +253,119 @@ class RigidBodyNode(ActionModel):
                 g, argnums=(0, 1), has_aux=True)(z_dx, z_du)
             return Fx, Fu, R0, Rx, Ru, xnext0, cost0
 
-        def f(dx, du):
-            xi = st.integrate(x, dx)
-            ui = u + du
-            a, cache = self._dynamics(xi, ui)
-            R = self.costs.residuals(st, cache, xi, ui)
-            return (a, R), (a, R)
-
         z_dx = jnp.zeros((ndx,), dtt)
         z_du = jnp.zeros((nu,), dtt)
-        (da, dR), (a, R) = jax.jacfwd(f, argnums=(0, 1), has_aux=True)(
-            z_dx, z_du)
-        da_dx, da_du = da          # (nv, ndx), (nv, nu)
-        Rx, Ru = dR                # (nr, ndx), (nr, nu)
+        m = st.model
+
+        # ---- Stage A: linearize the kinematic sweep ONCE (ndx tangents).
+        # The KKT solve, mass matrix and residual stack are NOT inside this
+        # linearization: their tangents are recovered below as contractions
+        # of the sweep tangents — the structure of the reference's analytic
+        # derivative chain (computeRNEADerivatives + KKT-inverse blocks,
+        # contact-fwddyn.hxx:126-159), which never differentiates through
+        # the mass-matrix construction or factorizations.
+        def kin_of(dx):
+            xi = st.integrate(x, dx)
+            kin = algo.KinData(m, xi[:st.nq], xi[st.nq:])
+            return kin.arrays(), xi
+
+        (ka0, xi0), kin_lin = jax.linearize(kin_of, z_dx)
+        kin0 = algo.KinData.from_arrays(m, xi0[:st.nq], xi0[st.nq:], ka0)
+
+        # ---- primal dynamics at the linearization point ------------------
+        tau0 = self.actuation.calc(xi0, u)
+        M = kin0.mass_matrix(self.armature)
+        b = kin0.bias_forces()
+        has_contacts = self.contacts is not None and self.contacts.contacts
+        if has_contacts:
+            cache0 = NodeCache(kin0, tau=tau0)
+            Jc, a0v, mask = self.contacts.calc(cache0)
+            a, lam, Lm, Ls, MinvJT = _contact_kkt_raw(
+                M, Jc, a0v, tau0 - b, mask, self.kkt_damping)
+            forces0 = [lam[i:i + c.nc]
+                       for (i, _), c in zip(self.contacts.slices(),
+                                            self.contacts.contacts)]
+            cache0.forces = forces0
+            nc = Jc.shape[0]
+        else:
+            Lm = _sc.chol(M)
+            a = _sc.cho_solve(Lm, tau0 - b)
+            lam = jnp.zeros((0,), dtt)
+            forces0 = []
+            cache0 = NodeCache(kin0, tau=tau0)
+            nc = 0
+        cache0.a = a
+
+        # ---- x-tangents: contracted KKT differential ----------------------
+        # At fixed (a, λ) the KKT tangent needs only the VECTORS
+        #   r1 = dτ − d(M·a) − db + d(Jcᵀ)·λ,   r2 = −(d(Jc)·a + da0)
+        # — every term a directional derivative of a vector-valued function
+        # of the sweep arrays, so no dM/dJc matrices are ever materialized.
+        def h_x(ka, xi):
+            kin = algo.KinData.from_arrays(m, xi[:st.nq], xi[st.nq:], ka)
+            cache = NodeCache(kin, forces=forces0, tau=None, a=a)
+            tau = self.actuation.calc(xi, u)
+            if has_contacts:
+                Jc_t, a0_t, _ = self.contacts.calc(cache)
+                r1 = tau - kin.mass_matrix_vec(a) - kin.bias_forces() \
+                    + Jc_t.T @ lam
+                r2 = -(Jc_t @ a + a0_t)
+            else:
+                r1 = tau - kin.mass_matrix_vec(a) - kin.bias_forces()
+                r2 = jnp.zeros((0,), dtt)
+            Rv = self.costs.residuals(st, cache, xi, u)
+            return r1, r2, Rv
+
+        # linearize: h_x's primal runs ONCE (it also yields the residual
+        # primal R); the tangent application is pure-linear and is vmapped
+        # over the ndx basis directions.
+        (_, _, R), h_lin = jax.linearize(h_x, ka0, xi0)
+        nr = R.shape[0]
+
+        def one_dir(e):
+            dka, dxi = kin_lin(e)
+            return h_lin(dka, dxi)
+
+        r1x, r2x, Rx_kin = jax.vmap(one_dir)(jnp.eye(ndx, dtype=dtt))
+
+        # ---- u-tangents: no kinematic dependence --------------------------
+        def h_u(du):
+            ui = u + du
+            tau = self.actuation.calc(xi0, ui)
+            cache = NodeCache(kin0, forces=forces0, tau=None, a=a)
+            Rv = self.costs.residuals(st, cache, xi0, ui)
+            return tau, Rv
+
+        dtau_du, Ru_kin = jax.jacfwd(h_u)(z_du)   # (nv, nu), (nr, nu)
+
+        # ---- back-substitute all ndx+nu tangent directions at once --------
+        r1_all = jnp.concatenate([r1x.T, dtau_du], axis=1)   # (nv, ndx+nu)
+        if has_contacts:
+            r2_all = jnp.concatenate(
+                [r2x.T, jnp.zeros((nc, nu), dtt)], axis=1)
+            Minv_r1 = jax.scipy.linalg.cho_solve((Lm, True), r1_all)
+            dlam = jax.scipy.linalg.cho_solve(
+                (Ls, True), (r2_all - Jc @ Minv_r1) * mask[:, None])
+            dacc = Minv_r1 + MinvJT @ dlam
+        else:
+            dacc = jax.scipy.linalg.cho_solve((Lm, True), r1_all)
+            dlam = jnp.zeros((0, ndx + nu), dtt)
+        da_dx, da_du = dacc[:, :ndx], dacc[:, ndx:]
+
+        # ---- residual force-dependence: dR += (∂R/∂λ)·dλ -------------------
+        Rx = Rx_kin.T if nr else jnp.zeros((0, ndx), dtt)
+        Ru = Ru_kin
+        if has_contacts and nr:
+            def h_f(lam_v):
+                fs = [lam_v[i:i + c.nc]
+                      for (i, _), c in zip(self.contacts.slices(),
+                                           self.contacts.contacts)]
+                cache = NodeCache(kin0, forces=fs, tau=None, a=a)
+                return self.costs.residuals(st, cache, xi0, u)
+
+            Rf = jax.jacfwd(h_f)(lam)             # (nr, nc)
+            Rx = Rx + Rf @ dlam[:, :ndx]
+            Ru = Ru + Rf @ dlam[:, ndx:]
 
         v = x[st.nq:]
         dt = self.dt
