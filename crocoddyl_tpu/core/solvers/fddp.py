@@ -41,6 +41,13 @@ from ...ops import smallchol as _sc
 from ..problem import ShootingProblem
 
 
+def _bad(x) -> jax.Array:
+    """The reference's raiseIfNaN predicate (solver-base.cpp:175-178):
+    true for NaN, inf, or magnitude >= 1e30.  ``~(|x| < 1e30)`` covers all
+    three in one comparison (NaN compares false)."""
+    return ~(jnp.max(jnp.abs(x)) < 1e30)
+
+
 class SolverSettings(struct.PyTreeNode):
     """Static solver configuration (all fields hashable/static).
 
@@ -70,6 +77,18 @@ class SolverSettings(struct.PyTreeNode):
     # depth — see solvers/parallel_riccati.py).  Latency lever for long
     # horizons / small batches; float32-only on TPU (element combines LU).
     parallel_riccati: bool = struct.field(pytree_node=False, default=False)
+    # Multiple-shooting forward pass: split each model segment into chunks of
+    # at most ms_chunk knots and roll them out IN PARALLEL, each chunk
+    # starting from the candidate's own reconstruction of the previous
+    # rollout state integrate(xs[t0], fs[t0]).  Chunk-boundary defects become
+    # ordinary FDDP gaps (fs is recomputed every iteration), which the
+    # feasibility-driven machinery contracts — the rollout latency drops from
+    # T sequential node evaluations to ~ms_chunk.  0 = exact sequential
+    # rollout (reference semantics).  With ms_chunk > 0 feasibility is
+    # declared only when a full step is taken AND the candidate gaps are
+    # below th_gaptol (a full-step rollout no longer closes gaps exactly).
+    ms_chunk: int = struct.field(pytree_node=False, default=0)
+    th_gaptol: float = struct.field(pytree_node=False, default=1e-7)
     record_trace: bool = struct.field(pytree_node=False, default=True)
     # Box-constrained variants (SolverBoxDDP/BoxFDDP; box-ddp.cpp:16-28):
     # per-node BoxQP over du bounds, clamped forward pass, th_stop 5e-5.
@@ -173,7 +192,7 @@ def _backward_pass(derivs, dterm, fs, xreg, ureg, box_args=None,
 
     Vxx_T = dterm.Lxx + xreg * eye
     Vx_T = dterm.Lx + Vxx_T @ fs[-1]
-    failed0 = jnp.isnan(Vx_T).any() | jnp.isnan(Vxx_T).any()
+    failed0 = _bad(Vx_T) | _bad(Vxx_T)
 
     if box_args is not None:
         from . import boxqp
@@ -235,7 +254,7 @@ def _backward_pass(derivs, dterm, fs, xreg, ureg, box_args=None,
         Vxx = Vxx + xreg * eye
         Vx = Vx + Vxx @ f
 
-        failed = failed | jnp.isnan(Vx).any() | jnp.isnan(Vxx).any()
+        failed = failed | _bad(Vx) | _bad(Vxx)  # ddp.cpp:246-251
         out = None if probe else (Vx, Vxx, Qu, kvec, K, Quuk)
         return (Vx, Vxx, failed), out
 
@@ -280,7 +299,9 @@ def _forward_pass(problem: ShootingProblem, xs, us, k, K, fs, alpha,
         u_try = jnp.clip(u_try, lb_t, ub_t)
         xnext_new, c = m.calc(x_try, u_try)
         cost_try = cost_try + c
-        failed = failed | jnp.isnan(cost_try) | jnp.isnan(xnext_new).any()
+        # raiseIfNaN semantics (fddp.cpp:172-180): NaN, inf, or >=1e30
+        # in the accumulated cost or rollout state rejects this alpha
+        failed = failed | _bad(cost_try) | _bad(xnext_new)
         return (xnext_new, cost_try, failed), (x_try, u_try)
 
     dt = xs.dtype
@@ -298,7 +319,109 @@ def _forward_pass(problem: ShootingProblem, xs, us, k, K, fs, alpha,
 
     xT_try = st.integrate(xnext, gap_scale * fs[-1])
     cost_try = cost_try + problem.terminal.calc_terminal(xT_try)
-    failed = failed | jnp.isnan(cost_try)
+    failed = failed | _bad(cost_try)
+    xs_try = jnp.concatenate([xs_try, xT_try[None]], axis=0)
+    return xs_try, us_try, cost_try, failed
+
+
+def _forward_pass_ms(problem: ShootingProblem, xs, us, k, K, fs, alpha,
+                     ms_chunk, u_lb=None, u_ub=None):
+    """Multiple-shooting trial rollout: chunks of <= ms_chunk knots roll out
+    in parallel (vmapped scan), each starting from the candidate's
+    reconstruction of the incoming rollout state integrate(xs[t0], fs[t0])
+    — which equals x0 exactly at t0=0 (fs[0] = diff(xs[0], x0)) and the
+    previous node's xnext at interior boundaries.  Only the per-chunk
+    recursion is sequential, so the rollout depth is ~ms_chunk instead of T.
+    Chunk-boundary mismatches surface as the next iteration's gaps, which
+    FDDP's infeasible machinery absorbs (fddp.cpp:192-224 semantics applied
+    blockwise)."""
+    st = problem.state
+    gap_scale = alpha - 1.0
+    if u_lb is None:
+        u_lb = jnp.full_like(us, -jnp.inf)
+        u_ub = jnp.full_like(us, jnp.inf)
+    dt = xs.dtype
+
+    def step(carry, inp):
+        xnext, cost_try, failed = carry
+        m, x_ref, u_ref, kv, Kv, f, lb_t, ub_t = inp
+        x_try = st.integrate(xnext, gap_scale * f)
+        dx = st.diff(x_ref, x_try)
+        u_try = u_ref - alpha * kv - Kv @ dx
+        u_try = jnp.clip(u_try, lb_t, ub_t)
+        xnext_new, c = m.calc(x_try, u_try)
+        cost_try = cost_try + c
+        failed = failed | _bad(cost_try) | _bad(xnext_new)
+        return (xnext_new, cost_try, failed), (x_try, u_try)
+
+    def run_chunked(seg, i, j):
+        """Returns (xs_parts, us_parts, cost, failed, x_carry_out)."""
+        L = j - i
+        c = min(ms_chunk, L)
+        n_c = L // c
+        r = L - n_c * c
+
+        def chunk_scan(seg_part, lo, hi, starts):
+            """Batched scan over chunks [(lo + s*c, +c) for s]."""
+            n = len(starts)
+            clen = (hi - lo) // n
+            x_start = jax.vmap(
+                lambda t0: st.integrate(xs[t0], fs[t0]))(jnp.asarray(starts))
+            resh = lambda a: jnp.swapaxes(
+                a.reshape((n, clen) + a.shape[1:]), 0, 1)
+            seg_r = jax.tree.map(
+                lambda a: (resh(a) if hasattr(a, "ndim") and a.ndim
+                           and a.shape[0] == hi - lo else a), seg_part)
+            carry0 = (x_start, jnp.zeros((n,), dt), jnp.zeros((n,), bool))
+
+            def body(carry, inp):
+                return jax.vmap(step)(carry, inp)
+
+            carry, (xs_s, us_s) = jax.lax.scan(
+                body, carry0,
+                (seg_r, resh(xs[lo:hi]), resh(us[lo:hi]), resh(k[lo:hi]),
+                 resh(K[lo:hi]), resh(fs[lo:hi]), resh(u_lb[lo:hi]),
+                 resh(u_ub[lo:hi])))
+            # (clen, n, ...) -> (L, ...) in time order
+            unr = lambda a: jnp.swapaxes(a, 0, 1).reshape(
+                (n * clen,) + a.shape[2:])
+            x_out, cost, failed = carry
+            return (unr(xs_s), unr(us_s), jnp.sum(cost), failed.any(),
+                    x_out[-1])
+
+        seg_main = jax.tree.map(
+            lambda a: (a[: n_c * c] if hasattr(a, "ndim") and a.ndim
+                       and a.shape[0] == L else a), seg)
+        starts = [i + s * c for s in range(n_c)]
+        xs_m, us_m, cost_m, failed_m, x_last = chunk_scan(
+            seg_main, i, i + n_c * c, starts)
+        if r == 0:
+            return [xs_m], [us_m], cost_m, failed_m, x_last
+        seg_rem = jax.tree.map(
+            lambda a: (a[n_c * c:] if hasattr(a, "ndim") and a.ndim
+                       and a.shape[0] == L else a), seg)
+        lo = i + n_c * c
+        xs_r, us_r, cost_r, failed_r, x_last = chunk_scan(
+            seg_rem, lo, j, [lo])
+        return ([xs_m, xs_r], [us_m, us_r], cost_m + cost_r,
+                failed_m | failed_r, x_last)
+
+    xs_parts, us_parts = [], []
+    cost_try = jnp.zeros((), dt)
+    failed = jnp.zeros((), bool)
+    x_last = problem.x0.astype(dt)
+    for seg, (i, j) in zip(problem.segments, problem._seg_slices()):
+        xp, up, c_s, f_s, x_last = run_chunked(seg, i, j)
+        xs_parts += xp
+        us_parts += up
+        cost_try = cost_try + c_s
+        failed = failed | f_s
+    xs_try = jnp.concatenate(xs_parts, axis=0)
+    us_try = jnp.concatenate(us_parts, axis=0)
+
+    xT_try = st.integrate(x_last, gap_scale * fs[-1])
+    cost_try = cost_try + problem.terminal.calc_terminal(xT_try)
+    failed = failed | _bad(cost_try)
     xs_try = jnp.concatenate([xs_try, xT_try[None]], axis=0)
     return xs_try, us_try, cost_try, failed
 
@@ -481,9 +604,14 @@ def solve(problem: ShootingProblem,
         bounds = (u_lb, u_ub) if s.box else (None, None)
 
         def trial(alpha):
-            xs_try, us_try, cost_try, failed = _forward_pass(
-                problem, st_.xs, st_.us, st_.k, st_.K, fs_fwd, alpha,
-                *bounds)
+            if s.ms_chunk > 0:
+                xs_try, us_try, cost_try, failed = _forward_pass_ms(
+                    problem, st_.xs, st_.us, st_.k, st_.K, fs_fwd, alpha,
+                    s.ms_chunk, *bounds)
+            else:
+                xs_try, us_try, cost_try, failed = _forward_pass(
+                    problem, st_.xs, st_.us, st_.k, st_.K, fs_fwd, alpha,
+                    *bounds)
             dV = st_.cost - cost_try
             if s.feasibility_driven:
                 # fddp.cpp:107-124 expectedImprovement at the trial point
@@ -533,6 +661,12 @@ def solve(problem: ShootingProblem,
         cost_new = jnp.where(any_acc, pick(cost_t), st_.cost)
         if s.feasibility_driven:
             feas_new = st_.was_feasible | (steplength == 1.0)
+            if s.ms_chunk > 0:
+                # a multiple-shooting step always leaves chunk-boundary
+                # defects: the candidate is never declared feasible (gaps
+                # must keep being recomputed); convergence instead requires
+                # the gap norm to contract below th_gaptol (see iteration())
+                feas_new = jnp.zeros((), bool)
         else:
             feas_new = jnp.ones((), bool)
         was_feas = jnp.where(any_acc, st_.feasible, st_.was_feasible)
@@ -576,7 +710,11 @@ def solve(problem: ShootingProblem,
         stop = jnp.sum(st_.Qu ** 2)  # ddp.cpp:132-142
         st_ = st_.replace(stop=stop)
         st_ = record(st_)
-        converged = st_.was_feasible & (stop < s.th_stop)
+        if s.ms_chunk > 0 and s.feasibility_driven:
+            converged = ((stop < s.th_stop)
+                         & (jnp.max(jnp.abs(st_.fs)) < s.th_gaptol))
+        else:
+            converged = st_.was_feasible & (stop < s.th_stop)
         return st_.replace(converged=converged, iter=st_.iter + 1)
 
     def cond(st_):

@@ -168,7 +168,10 @@ def backward_pass_parallel(derivs, dterm, fs, xreg, ureg):
         jnp.diagonal(Quu, axis1=-2, axis2=-1), 1e-30))
     Quu_eq = Quu / dscale[..., :, None] / dscale[..., None, :]
     chol = jnp.linalg.cholesky(Quu_eq)
-    failed = failed0 | jnp.isnan(chol).any() | jnp.isnan(Vxx).any()
+    # raiseIfNaN semantics (solver-base.cpp:175-178): NaN/inf/>=1e30 fails
+    failed = (failed0 | jnp.isnan(chol).any()
+              | ~(jnp.max(jnp.abs(Vx)) < 1e30)
+              | ~(jnp.max(jnp.abs(Vxx)) < 1e30))
 
     def qsolve(B):
         y = jax.scipy.linalg.cho_solve((chol, True), B / dscale[..., :, None])

@@ -389,6 +389,114 @@ KinCache = KinData
 
 
 # ---------------------------------------------------------------------------
+# Closed-form sweep linearization — all ndx tangent directions at once
+# ---------------------------------------------------------------------------
+
+def kin_tangent_basis(kin: KinData) -> KinArrays:
+    """Directional derivatives of every KinArrays field for ALL ndx tangent
+    basis directions [dq (nv); dv (nv)], leading axis (ndx,).
+
+    Replaces ``jax.linearize`` of the level-synchronous sweep in the node
+    derivative path (models/multibody/nodes.py:_tangent_outputs): instead of
+    re-running the linearized level loop per direction, every tangent is a
+    closed-form masked contraction of PRIMAL sweep outputs — the spatial-
+    algebra identities behind Pinocchio's analytic derivatives
+    (reference contact-fwddyn.hxx:126-159 via computeRNEADerivatives):
+
+    * a world quantity attached to body i differentiates along tangent dof d
+      as the action of the velocity field of that dof, which is exactly the
+      world Jacobian column S_d = Jcols[d] (for the free-flyer's local
+      perturbation convention included), masked by ancestry:
+        d op_i   = S_d.lin + S_d.ang x op_i
+        d oR_i   = skew(S_d.ang) oR_i
+        d S_e    = ad(S_d) S_e                   (d ancestor-dof of e)
+    * world body velocities v_i = sum_{e<=i} S_e qdot_e give
+        dv_i/dq_d = ad(S_d)(v_i - v_{parent(joint(d))})
+        dv_i/dv_d = S_d
+      and the JOINT-LOCAL velocity tangent collapses to
+        d vels_i/dq_d = -Ad_{X_i^-1} ad(S_d) v_{parent(joint(d))}
+      (local quantities are invariant under rigid motion of the whole
+      ancestor chain, so only the parent-velocity term survives).
+    * the bias acceleration telescopes as b_i = sum_{k<=i} beta_k with
+      beta_k = ad(v_k) (v_k - v_{p(k)}), whose per-joint tangents are two
+      nested brackets; the ancestor sum is one masked (nj x nj) contraction.
+
+    Exactness is pinned against ``jax.linearize`` of the sweep in
+    tests/test_kin_tangents.py.
+    """
+    model = kin.model
+    levels, v_off, nv, amask_np, dof_joint, _, _, _ = _meta(model)
+    dt = kin.q.dtype
+    nj = model.njoints
+    dofj = np.asarray(dof_joint)
+
+    amask = kin.amask                                   # (nj, nv)
+    Mq = amask.T                                        # (nv_dir, nj)
+    # dof-level ancestry: Am2[d, e] = 1 iff joint(d) is anc-or-self of joint(e)
+    Am2 = jnp.asarray(amask_np[dofj].T, dt)             # (nv_dir, nv_col)
+    # joint-level anc-or-self mask Jm[i, k]
+    Jm = jnp.asarray(amask_np[:, np.asarray([v_off[k] for k in range(nj)])],
+                     dt)                                # (nj, nj)
+    parents = np.asarray(model.parents)
+    par_idx = jnp.asarray(np.where(parents == -1, 0, parents))
+    not_root = jnp.asarray((parents != -1).astype(np.float64), dt)
+
+    S = kin.Jcols                                       # (nv, 6)
+    oR, op = kin.oMi.R, kin.oMi.p
+    vw = kin.vel_w                                      # (nj, 6)
+    vp_w = vw[par_idx] * not_root[:, None]              # (nj, 6)
+    vJ_w = vw - vp_w
+    wv = vp_w[jnp.asarray(dofj)]                        # (nv, 6) per-dof parent vel
+    bias_w = kin.oMi.act_motion(kin.biasacc)            # (nj, 6)
+    X = Transform(oR, op)                               # broadcasts over (nv, nj)
+
+    Sv, Sw = S[:, :3], S[:, 3:]
+    skew_Sw = skew(Sw)                                  # (nv, 3, 3)
+
+    # ---- q-direction tangents -------------------------------------------
+    doR = Mq[..., None, None] * mm(skew_Sw[:, None], oR[None])
+    dop = Mq[..., None] * (Sv[:, None] + jnp.cross(Sw[:, None], op[None]))
+    cm_S_vw = cross_motion(S[:, None], vw[None])        # (nv, nj, 6)
+    cm_S_wv = cross_motion(S, wv)                       # (nv, 6)
+    dvel_w_q = Mq[..., None] * (cm_S_vw - cm_S_wv[:, None])
+    dvels_q = -Mq[..., None] * X.act_motion_inv(
+        jnp.broadcast_to(cm_S_wv[:, None], (nv, nj, 6)))
+    dbeta_q = (cross_motion(dvel_w_q, vJ_w[None])
+               + Mq[..., None] * cross_motion(
+                   vw[None], cross_motion(S[:, None], vJ_w[None])))
+    dbias_w_q = jnp.einsum("ik,dkx->dix", Jm, dbeta_q)
+    dbias_q = X.act_motion_inv(
+        dbias_w_q - Mq[..., None] * cross_motion(S[:, None], bias_w[None]))
+    dJcols_q = Am2[..., None] * cross_motion(S[:, None], S[None])
+    c_w, Ic_w = kin.I_w.c, kin.I_w.I_c
+    dc_q = Mq[..., None] * (Sv[:, None] + jnp.cross(Sw[:, None], c_w[None]))
+    dIc_q = Mq[..., None, None] * (mm(skew_Sw[:, None], Ic_w[None])
+                                   - mm(Ic_w[None], skew_Sw[:, None]))
+
+    # ---- v-direction tangents -------------------------------------------
+    dvel_w_v = Mq[..., None] * jnp.broadcast_to(S[:, None], (nv, nj, 6))
+    dvels_v = Mq[..., None] * X.act_motion_inv(
+        jnp.broadcast_to(S[:, None], (nv, nj, 6)))
+    onehot = jnp.asarray(np.eye(nj)[dofj], dt)          # (nv, nj)
+    dbeta_v = (Mq[..., None] * cross_motion(S[:, None], vJ_w[None])
+               + onehot[..., None] * cross_motion(vw[None], S[:, None]))
+    dbias_w_v = jnp.einsum("ik,dkx->dix", Jm, dbeta_v)
+    dbias_v = X.act_motion_inv(dbias_w_v)
+
+    z = jnp.zeros
+    return KinArrays(
+        oR=jnp.concatenate([doR, z((nv, nj, 3, 3), dt)]),
+        op=jnp.concatenate([dop, z((nv, nj, 3), dt)]),
+        vels=jnp.concatenate([dvels_q, dvels_v]),
+        biasacc=jnp.concatenate([dbias_q, dbias_v]),
+        Jcols=jnp.concatenate([dJcols_q, z((nv, nv, 6), dt)]),
+        vel_w=jnp.concatenate([dvel_w_q, dvel_w_v]),
+        Iw_c=jnp.concatenate([dc_q, z((nv, nj, 3), dt)]),
+        Iw_Ic=jnp.concatenate([dIc_q, z((nv, nj, 3, 3), dt)]),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Functional API (wrappers over KinData)
 # ---------------------------------------------------------------------------
 

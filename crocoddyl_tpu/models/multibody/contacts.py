@@ -21,10 +21,14 @@ from flax import struct
 
 from ...dynamics import lie
 from ...dynamics.spatial import Transform
-# NOTE: the unrolled smallchol kernels are NOT used here: this code runs
-# inside the 48-tangent jacfwd region of calc_diff, where the unrolled ops
-# defeat XLA's rematerialization and blow past HBM at benchmark batch sizes
-# (observed 23G > 15.75G).  The backward pass (small graph) does use them.
+from ...ops import smallchol as _sc
+# NOTE: since the analytic node-linearization (nodes.py:_tangent_outputs),
+# the contact KKT runs OUTSIDE any jacfwd region (factorizations are primal;
+# all tangent directions are back-substituted through them), so the unrolled
+# smallchol kernels are safe and replace the loopy cholesky/triangular_solve
+# custom-calls that dominated the primal node cost.  (Historically they were
+# avoided here: under the old 48-tangent fused-AD path they defeated XLA's
+# rematerialization and blew past HBM at benchmark batch sizes.)
 
 
 class Contact3D(struct.PyTreeNode):
@@ -126,17 +130,17 @@ class ContactSet(struct.PyTreeNode):
 def _contact_kkt_raw(M, Jc, a0_neg_rhs, tau_minus_b, mask, damping):
     dt = M.dtype
     nc = Jc.shape[0]
-    Lm = jnp.linalg.cholesky(M)
+    Lm = _sc.chol(M)
     # X = M⁻¹ [Jᵀ | τ−b]
     rhs = jnp.concatenate([Jc.T, tau_minus_b[:, None]], axis=1)
-    X = jax.scipy.linalg.cho_solve((Lm, True), rhs)
+    X = _sc.cho_solve(Lm, rhs)
     MinvJT, a_free = X[:, :nc], X[:, nc]
     # S λ = −(J·M⁻¹(τ−b) + a0)   with S = J M⁻¹ Jᵀ + damping·I (masked)
     S = Jc @ MinvJT + damping * jnp.eye(nc, dtype=dt)
     S = S * (mask[:, None] * mask[None, :]) + jnp.diag(1.0 - mask)
     b_lam = -(Jc @ a_free + a0_neg_rhs) * mask
-    Ls = jnp.linalg.cholesky(S)
-    lam = jax.scipy.linalg.cho_solve((Ls, True), b_lam)
+    Ls = _sc.chol(S)
+    lam = _sc.cho_solve(Ls, b_lam)
     a = a_free + MinvJT @ lam
     return a, lam, Lm, Ls, MinvJT
 
@@ -184,8 +188,8 @@ def _solve_contact_kkt_jvp(damping, primals, tangents):
     #   J·da + damping·dλ = r2 := −da0 − dJ·a   ⇒   S·dλ = r2 − J·M⁻¹·r1
     r1 = dtaumb - dM @ a + dJc.T @ lam
     r2 = -(da0 + dJc @ a)
-    Minv_r1 = jax.scipy.linalg.cho_solve((Lm, True), r1)
-    dlam = jax.scipy.linalg.cho_solve((Ls, True), (r2 - Jc @ Minv_r1) * mask)
+    Minv_r1 = _sc.cho_solve(Lm, r1)
+    dlam = _sc.cho_solve(Ls, (r2 - Jc @ Minv_r1) * mask)
     da = Minv_r1 + MinvJT @ dlam
     return (a, lam, Lm), (da, dlam, jnp.zeros_like(Lm))
 
@@ -195,20 +199,19 @@ def pd_solve(M, rhs):
     """a = M⁻¹·rhs for PD M via Cholesky, with an implicit-diff JVP that
     reuses the factorization: da = M⁻¹(drhs − dM·a) — one vector backsolve
     per tangent instead of the Cholesky-differential path."""
-    L = jnp.linalg.cholesky(M)
-    return jax.scipy.linalg.cho_solve((L, True), rhs)
+    return _sc.cho_solve(_sc.chol(M), rhs)
 
 
 @pd_solve.defjvp
 def _pd_solve_jvp(primals, tangents):
     M, rhs = primals
     dM, drhs = tangents
-    L = jnp.linalg.cholesky(M)
-    a = jax.scipy.linalg.cho_solve((L, True), rhs)
+    L = _sc.chol(M)
+    a = _sc.cho_solve(L, rhs)
 
     def z(t, like):
         return (jnp.zeros_like(like)
                 if isinstance(t, jax.custom_derivatives.SymbolicZero) else t)
 
-    da = jax.scipy.linalg.cho_solve((L, True), z(drhs, rhs) - z(dM, M) @ a)
+    da = _sc.cho_solve(L, z(drhs, rhs) - z(dM, M) @ a)
     return a, da

@@ -257,20 +257,22 @@ class RigidBodyNode(ActionModel):
         z_du = jnp.zeros((nu,), dtt)
         m = st.model
 
-        # ---- Stage A: linearize the kinematic sweep ONCE (ndx tangents).
-        # The KKT solve, mass matrix and residual stack are NOT inside this
-        # linearization: their tangents are recovered below as contractions
-        # of the sweep tangents — the structure of the reference's analytic
-        # derivative chain (computeRNEADerivatives + KKT-inverse blocks,
-        # contact-fwddyn.hxx:126-159), which never differentiates through
-        # the mass-matrix construction or factorizations.
-        def kin_of(dx):
-            xi = st.integrate(x, dx)
-            kin = algo.KinData(m, xi[:st.nq], xi[st.nq:])
-            return kin.arrays(), xi
-
-        (ka0, xi0), kin_lin = jax.linearize(kin_of, z_dx)
-        kin0 = algo.KinData.from_arrays(m, xi0[:st.nq], xi0[st.nq:], ka0)
+        # ---- Stage A: closed-form sweep linearization (ndx tangents).
+        # The sweep tangents for ALL basis directions come from the
+        # spatial-algebra identities in algorithms.kin_tangent_basis —
+        # masked contractions of the PRIMAL sweep outputs, no re-run of the
+        # level loop per direction.  The KKT solve, mass matrix and residual
+        # stack are NOT differentiated either: their tangents are recovered
+        # below as contractions of the sweep tangents — the structure of the
+        # reference's analytic derivative chain (computeRNEADerivatives +
+        # KKT-inverse blocks, contact-fwddyn.hxx:126-159).
+        xi0 = st.integrate(x, z_dx)
+        kin0 = algo.KinData(m, xi0[:st.nq], xi0[st.nq:])
+        ka0 = kin0.arrays()
+        dka_all = algo.kin_tangent_basis(kin0)        # leading (ndx,) axis
+        # tangent of the q-space coordinates (costs/actuation may read xi)
+        dxi_all = jnp.transpose(
+            jax.jacfwd(lambda dx: st.integrate(x, dx))(z_dx))   # (ndx, nx)
 
         # ---- primal dynamics at the linearization point ------------------
         tau0 = self.actuation.calc(xi0, u)
@@ -318,15 +320,10 @@ class RigidBodyNode(ActionModel):
 
         # linearize: h_x's primal runs ONCE (it also yields the residual
         # primal R); the tangent application is pure-linear and is vmapped
-        # over the ndx basis directions.
+        # over the ndx stacked closed-form sweep tangents.
         (_, _, R), h_lin = jax.linearize(h_x, ka0, xi0)
         nr = R.shape[0]
-
-        def one_dir(e):
-            dka, dxi = kin_lin(e)
-            return h_lin(dka, dxi)
-
-        r1x, r2x, Rx_kin = jax.vmap(one_dir)(jnp.eye(ndx, dtype=dtt))
+        r1x, r2x, Rx_kin = jax.vmap(h_lin)(dka_all, dxi_all)
 
         # ---- u-tangents: no kinematic dependence --------------------------
         def h_u(du):
@@ -343,12 +340,11 @@ class RigidBodyNode(ActionModel):
         if has_contacts:
             r2_all = jnp.concatenate(
                 [r2x.T, jnp.zeros((nc, nu), dtt)], axis=1)
-            Minv_r1 = jax.scipy.linalg.cho_solve((Lm, True), r1_all)
-            dlam = jax.scipy.linalg.cho_solve(
-                (Ls, True), (r2_all - Jc @ Minv_r1) * mask[:, None])
+            Minv_r1 = _sc.cho_solve(Lm, r1_all)
+            dlam = _sc.cho_solve(Ls, (r2_all - Jc @ Minv_r1) * mask[:, None])
             dacc = Minv_r1 + MinvJT @ dlam
         else:
-            dacc = jax.scipy.linalg.cho_solve((Lm, True), r1_all)
+            dacc = _sc.cho_solve(Lm, r1_all)
             dlam = jnp.zeros((0, ndx + nu), dtt)
         da_dx, da_du = dacc[:, :ndx], dacc[:, ndx:]
 

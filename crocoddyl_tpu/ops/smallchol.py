@@ -2,17 +2,24 @@
 
 XLA's `cholesky`/`triangular_solve` custom-calls pad robot-scale operands
 (nv≈12-36) to (8,128) tiles and loop over columns — they showed up as ~6%
-of device time in the solve profile despite trivial FLOPs.  For a tiny
-STATIC n, unrolling the Cholesky–Banachiewicz recurrence over scalar index
-pairs turns the factorization into ~n²/2 elementwise ops over the batch —
-every op is a full-lane (B·T)-vector operation on the VPU, no padding, no
-column loop.  Negative pivots produce NaN through sqrt (same failure signal
-as lax.linalg.cholesky), which the solver's escalation logic consumes.
+of device time in the solve profile despite trivial FLOPs.  Unrolling over
+a STATIC n turns the factorization into full-lane batched VPU ops with no
+padding and no column loop.
+
+The unroll is COLUMN-VECTORIZED, not scalar: each of the n steps is a
+handful of (..., n)- or (..., n, m)-shaped ops (one masked column of the
+Cholesky–Crout recurrence / one row of the substitution), so the traced
+graph is O(n) equations instead of the O(n³) scalar unroll — keeping
+XLA compile time flat — while every op still runs across the whole batch.
+Negative pivots produce NaN through sqrt (same failure signal as
+lax.linalg.cholesky), which the solver's escalation logic consumes.
 
 Used for n ≤ MAX_UNROLL; larger n falls back to jnp.linalg.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -21,27 +28,26 @@ MAX_UNROLL = 40
 
 
 def chol(M):
-    """Lower Cholesky factor of (..., n, n) PD matrices (batched, unrolled)."""
+    """Lower Cholesky factor of (..., n, n) PD matrices (batched, unrolled
+    column-by-column)."""
     n = M.shape[-1]
     if n > MAX_UNROLL:
         return jnp.linalg.cholesky(M)
-    # L as an n×n list of (...)-shaped blocks
-    L = [[None] * n for _ in range(n)]
+    dt = M.dtype
+    cols = []
     for j in range(n):
-        s = M[..., j, j]
-        for k in range(j):
-            s = s - L[j][k] * L[j][k]
-        L[j][j] = jnp.sqrt(s)
-        inv = 1.0 / L[j][j]
-        for i in range(j + 1, n):
-            s = M[..., i, j]
-            for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            L[i][j] = s * inv
-    z = jnp.zeros_like(M[..., 0, 0])
-    rows = [jnp.stack([L[i][j] if j <= i else z for j in range(n)], axis=-1)
-            for i in range(n)]
-    return jnp.stack(rows, axis=-2)
+        s = M[..., :, j]
+        if cols:
+            prev = jnp.stack(cols, axis=-1)          # (..., n, j)
+            rowj = prev[..., j, :]                   # (..., j)
+            s = s - jnp.sum(prev * rowj[..., None, :], axis=-1)
+        d = jnp.sqrt(s[..., j])
+        col = s / d[..., None]
+        mask = jnp.asarray((np.arange(n) > j).astype(np.float64), dt)
+        col = col * mask                             # strict lower part
+        col = col + d[..., None] * jnp.asarray(np.arange(n) == j, dt)
+        cols.append(col)
+    return jnp.stack(cols, axis=-1)
 
 
 def solve_lower(L, b):
@@ -54,8 +60,9 @@ def solve_lower(L, b):
     xs = []
     for i in range(n):
         s = bb[..., i, :]
-        for k in range(i):
-            s = s - L[..., i, k, None] * xs[k]
+        if xs:
+            X = jnp.stack(xs, axis=-2)               # (..., i, m)
+            s = s - jnp.sum(L[..., i, :i, None] * X, axis=-2)
         xs.append(s / L[..., i, i, None])
     x = jnp.stack(xs, axis=-2)
     return x[..., 0] if vec else x
@@ -68,13 +75,17 @@ def solve_upper_t(L, b):
         return jax.scipy.linalg.solve_triangular(L, b, lower=True, trans=1)
     vec = b.ndim == L.ndim - 1
     bb = b[..., None] if vec else b
-    xs = [None] * n
+    xs = []
     for i in reversed(range(n)):
         s = bb[..., i, :]
-        for k in range(i + 1, n):
-            s = s - L[..., k, i, None] * xs[k]
-        xs[i] = s / L[..., i, i, None]
-    x = jnp.stack(xs, axis=-2)
+        if xs:
+            # xs holds rows n-1 … i+1 (reverse order); match with the
+            # reversed column slice of L
+            X = jnp.stack(xs, axis=-2)               # (..., n-1-i, m)
+            Lcol = L[..., i + 1:, i][..., ::-1, None]
+            s = s - jnp.sum(Lcol * X, axis=-2)
+        xs.append(s / L[..., i, i, None])
+    x = jnp.stack(xs[::-1], axis=-2)
     return x[..., 0] if vec else x
 
 

@@ -9,6 +9,11 @@ Here the same role: given any ActionModel, compute FD derivatives in tangent
 coordinates (column-wise ``integrate(x, h·e_i)`` exactly like
 core/numdiff/action.hxx:60-97) and return a NodeDerivs for comparison against
 ``calc_diff``.  The default disturbance is √(2ε) (action.hxx:18).
+
+All column loops are vmapped inside module-level ``jax.jit`` wrappers: the
+model is a pytree argument, so the compiled FD program is cached across calls
+and tests — eager per-column dispatch of the full dynamics graph (thousands
+of ops per eval with the unrolled linear-algebra kernels) is avoided.
 """
 
 from __future__ import annotations
@@ -17,6 +22,7 @@ import math
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..core.action import ActionModel, NodeDerivs
@@ -24,63 +30,95 @@ from ..core.action import ActionModel, NodeDerivs
 DISTURBANCE = math.sqrt(2.0 * np.finfo(float).eps)
 
 
-def numdiff_action(model: ActionModel, x, u, h: float = None) -> NodeDerivs:
-    """FD Fx/Fu/Lx/Lu + Gauss-Newton-free FD Hessians (central differences on
-    the gradient for L**)."""
+# Jitted single-eval helpers (model passed as a pytree; cache persists
+# across calls with the same model structure/shapes).
+jit_calc = jax.jit(lambda m, x, u: m.calc(x, u))
+jit_calc_diff = jax.jit(lambda m, x, u: m.calc_diff(x, u))
+jit_calc_both = jax.jit(lambda m, x, u: m.calc_both(x, u))
+
+
+@jax.jit
+def _fd_first(model, x, u, h):
+    """(Fx, Fu, Lx, Lu) by forward differences, columns vmapped."""
     st = model.state
-    h = DISTURBANCE if h is None else h
     ndx, nu = st.ndx, model.nu
-    x = jnp.asarray(x)
-    u = jnp.asarray(u)
     xn0, c0 = model.calc(x, u)
 
-    def ei(n, i):
-        return jnp.zeros((n,)).at[i].set(1.0)
+    def colx(e):
+        xn, c = model.calc(st.integrate(x, h * e), u)
+        return st.diff(xn0, xn) / h, (c - c0) / h
 
-    Fx = np.zeros((ndx, ndx))
-    Lx = np.zeros(ndx)
-    for i in range(ndx):
-        xp = st.integrate(x, h * ei(ndx, i))
-        xni, ci = model.calc(xp, u)
-        Fx[:, i] = np.asarray(st.diff(xn0, xni)) / h
-        Lx[i] = (float(ci) - float(c0)) / h
-    Fu = np.zeros((ndx, nu))
-    Lu = np.zeros(nu)
-    for i in range(nu):
-        up = u + h * ei(nu, i)
-        xni, ci = model.calc(x, up)
-        Fu[:, i] = np.asarray(st.diff(xn0, xni)) / h
-        Lu[i] = (float(ci) - float(c0)) / h
+    Fx_T, Lx = jax.vmap(colx)(jnp.eye(ndx, dtype=x.dtype))
 
-    # second-order FD on the analytic-free gradient (cost only)
+    def colu(e):
+        xn, c = model.calc(x, u + h * e)
+        return st.diff(xn0, xn) / h, (c - c0) / h
+
+    Fu_T, Lu = jax.vmap(colu)(jnp.eye(nu, dtype=u.dtype))
+    return Fx_T.T, Fu_T.T, Lx, Lu
+
+
+@jax.jit
+def _fd_second(model, x, u, h):
+    """(Lxx, Lxu, Luu) by FD on the FD cost gradient (all evals vmapped)."""
+    st = model.state
+    ndx, nu = st.ndx, model.nu
+    ex = jnp.eye(ndx, dtype=x.dtype)
+    eu = jnp.eye(nu, dtype=u.dtype)
+
     def grad(xq, uq):
-        gx = np.zeros(ndx)
-        gu = np.zeros(nu)
         _, c = model.calc(xq, uq)
-        for i in range(ndx):
-            _, ci = model.calc(st.integrate(xq, h * ei(ndx, i)), uq)
-            gx[i] = (float(ci) - float(c)) / h
-        for i in range(nu):
-            _, ci = model.calc(xq, uq + h * ei(nu, i))
-            gu[i] = (float(ci) - float(c)) / h
+        gx = jax.vmap(
+            lambda e: (model.calc(st.integrate(xq, h * e), uq)[1] - c) / h)(ex)
+        gu = jax.vmap(lambda e: (model.calc(xq, uq + h * e)[1] - c) / h)(eu)
         return gx, gu
 
     gx0, gu0 = grad(x, u)
-    Lxx = np.zeros((ndx, ndx))
-    Lxu = np.zeros((ndx, nu))
-    Luu = np.zeros((nu, nu))
-    for i in range(ndx):
-        gxi, gui = grad(st.integrate(x, h * ei(ndx, i)), u)
-        Lxx[:, i] = (gxi - gx0) / h
-        Lxu[i, :] = (gui - gu0) / h
-    for i in range(nu):
-        gxi, gui = grad(x, u + h * ei(nu, i))
-        Luu[:, i] = (gui - gu0) / h
+    gxi, gui = jax.vmap(lambda e: grad(st.integrate(x, h * e), u))(ex)
+    Lxx = (gxi - gx0).T / h                       # (ndx, ndx)
+    Lxu = (gui - gu0) / h                         # (ndx, nu)
+    _, guu = jax.vmap(lambda e: grad(x, u + h * e))(eu)
+    Luu = (guu - gu0).T / h
+    return Lxx, Lxu, Luu
 
-    return NodeDerivs(Fx=jnp.asarray(Fx), Fu=jnp.asarray(Fu),
-                      Lx=jnp.asarray(Lx), Lu=jnp.asarray(Lu),
-                      Lxx=jnp.asarray(Lxx), Lxu=jnp.asarray(Lxu),
-                      Luu=jnp.asarray(Luu))
+
+def numdiff_action(model: ActionModel, x, u, h: float = None) -> NodeDerivs:
+    """FD Fx/Fu/Lx/Lu + FD-of-gradient Hessians (central-free forward FD,
+    core/numdiff/action.hxx semantics)."""
+    h = DISTURBANCE if h is None else h
+    x = jnp.asarray(x)
+    u = jnp.asarray(u)
+    h = jnp.asarray(h, x.dtype)
+    Fx, Fu, Lx, Lu = _fd_first(model, x, u, h)
+    Lxx, Lxu, Luu = _fd_second(model, x, u, h)
+    return NodeDerivs(Fx=Fx, Fu=Fu, Lx=Lx, Lu=Lu,
+                      Lxx=Lxx, Lxu=Lxu, Luu=Luu)
+
+
+def numdiff_fxlx(model: ActionModel, x, u, h: float = 1e-6):
+    """First-order FD (Fx, Fu, Lx, Lu) only — the cheap per-test oracle
+    (core/numdiff/action.hxx:60-97 column construction).  Returns numpy."""
+    Fx, Fu, Lx, Lu = _fd_first(model, jnp.asarray(x), jnp.asarray(u),
+                               jnp.asarray(h, jnp.asarray(x).dtype))
+    return (np.asarray(Fx), np.asarray(Fu), np.asarray(Lx), np.asarray(Lu))
+
+
+@jax.jit
+def _fd_state(state, x0, x1, h):
+    ndx = state.ndx
+    d0 = state.diff(x0, x1)
+    e = jnp.eye(ndx, dtype=x0.dtype)
+    J1 = jax.vmap(
+        lambda ei: (state.diff(state.integrate(x0, h * ei), x1) - d0) / h)(e)
+    J2 = jax.vmap(
+        lambda ei: (state.diff(x0, state.integrate(x1, h * ei)) - d0) / h)(e)
+    dx = d0
+    y0 = state.integrate(x0, dx)
+    Jx = jax.vmap(lambda ei: state.diff(
+        y0, state.integrate(state.integrate(x0, h * ei), dx)) / h)(e)
+    Jdx = jax.vmap(lambda ei: state.diff(
+        y0, state.integrate(x0, dx + h * ei)) / h)(e)
+    return J1.T, J2.T, Jx.T, Jdx.T
 
 
 def numdiff_state(state, x0, x1, h: float = None):
@@ -88,67 +126,19 @@ def numdiff_state(state, x0, x1, h: float = None):
     (Jdiff_first, Jdiff_second, Jint_x, Jint_dx) evaluated at (x0, x1) and
     (x0, dx=diff(x0,x1))."""
     h = DISTURBANCE if h is None else h
-    ndx = state.ndx
-    d0 = state.diff(x0, x1)
-
-    def ei(i):
-        return jnp.zeros((ndx,)).at[i].set(1.0)
-
-    J1 = np.zeros((ndx, ndx))
-    J2 = np.zeros((ndx, ndx))
-    for i in range(ndx):
-        J1[:, i] = np.asarray(
-            state.diff(state.integrate(x0, h * ei(i)), x1) - d0) / h
-        J2[:, i] = np.asarray(
-            state.diff(x0, state.integrate(x1, h * ei(i))) - d0) / h
-    dx = d0
-    y0 = state.integrate(x0, dx)
-    Jx = np.zeros((ndx, ndx))
-    Jdx = np.zeros((ndx, ndx))
-    for i in range(ndx):
-        Jx[:, i] = np.asarray(state.diff(
-            y0, state.integrate(state.integrate(x0, h * ei(i)), dx))) / h
-        Jdx[:, i] = np.asarray(state.diff(
-            y0, state.integrate(x0, dx + h * ei(i)))) / h
-    return (jnp.asarray(J1), jnp.asarray(J2), jnp.asarray(Jx),
-            jnp.asarray(Jdx))
-
-
-def numdiff_fxlx(model: ActionModel, x, u, h: float = 1e-6):
-    """First-order FD (Fx, Fu, Lx, Lu) only — the cheap per-test oracle
-    (core/numdiff/action.hxx:60-97 column construction).  Returns numpy."""
-    st = model.state
-    xn0, c0 = model.calc(x, u)
-    ndx, nu = st.ndx, model.nu
-    Fx = np.zeros((ndx, ndx))
-    Fu = np.zeros((ndx, nu))
-    Lx = np.zeros(ndx)
-    Lu = np.zeros(nu)
-    for i in range(ndx):
-        dx = jnp.zeros(ndx).at[i].set(h)
-        xn, c = model.calc(st.integrate(x, dx), u)
-        Fx[:, i] = np.asarray(st.diff(xn0, xn)) / h
-        Lx[i] = (float(c) - float(c0)) / h
-    for i in range(nu):
-        du = jnp.zeros(nu).at[i].set(h)
-        xn, c = model.calc(x, u + du)
-        Fu[:, i] = np.asarray(st.diff(xn0, xn)) / h
-        Lu[i] = (float(c) - float(c0)) / h
-    return Fx, Fu, Lx, Lu
+    x0 = jnp.asarray(x0)
+    return _fd_state(state, x0, jnp.asarray(x1), jnp.asarray(h, x0.dtype))
 
 
 def numdiff_actuation(actuation, x, u, h: float = None):
-    """FD (dtau_dx, dtau_du) for an actuation model
-    (core/numdiff/actuation.hpp semantics); dtau_dx in tangent coordinates
-    requires the caller's state for the retraction."""
+    """FD dtau_du for an actuation model (core/numdiff/actuation.hpp)."""
     h = DISTURBANCE if h is None else h
     tau0 = actuation.calc(x, u)
     nu = u.shape[0]
-    dtau_du = np.zeros((tau0.shape[0], nu))
-    for i in range(nu):
-        taui = actuation.calc(x, u + h * jnp.zeros(nu).at[i].set(1.0))
-        dtau_du[:, i] = np.asarray(taui - tau0) / h
-    return jnp.asarray(dtau_du)
+    cols = jax.vmap(
+        lambda e: (actuation.calc(x, u + h * e) - tau0) / h)(
+            jnp.eye(nu, dtype=jnp.asarray(u).dtype))
+    return cols.T
 
 
 def numdiff_activation(activation, r, h: float = None):
@@ -156,14 +146,9 @@ def numdiff_activation(activation, r, h: float = None):
     h = DISTURBANCE if h is None else h
     r = jnp.asarray(r)
     n = r.shape[0]
-    a0, _, _ = activation.calc(r)
-    Ar = np.zeros(n)
-    for i in range(n):
-        ai, _, _ = activation.calc(r.at[i].add(h))
-        Ar[i] = (float(ai) - float(a0)) / h
-    Arr = np.zeros(n)
-    for i in range(n):
-        _, Ari_p, _ = activation.calc(r.at[i].add(h))
-        _, Ari_0, _ = activation.calc(r)
-        Arr[i] = float(Ari_p[i] - Ari_0[i]) / h
-    return jnp.asarray(Ar), jnp.asarray(Arr)
+    a0, Ar0, _ = activation.calc(r)
+    e = jnp.eye(n, dtype=r.dtype)
+    Ar = jax.vmap(lambda ei: (activation.calc(r + h * ei)[0] - a0) / h)(e)
+    Arr = jax.vmap(
+        lambda ei: (activation.calc(r + h * ei)[1] - Ar0) / h)(e)
+    return Ar, jnp.diagonal(Arr.T)

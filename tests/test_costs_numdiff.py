@@ -32,7 +32,7 @@ from crocoddyl_tpu.models.multibody.costs import (
 from crocoddyl_tpu.models.multibody.frames import cop_support, friction_cone
 from crocoddyl_tpu.models.multibody.nodes import (
     CostStack, ImpulseNode, RigidBodyNode)
-from crocoddyl_tpu.utils.numdiff import numdiff_fxlx
+from crocoddyl_tpu.utils.numdiff import jit_calc_diff, numdiff_fxlx
 
 one = jnp.ones(())
 
@@ -81,7 +81,7 @@ def _free_node(extra_costs, robot="arm7"):
 
 
 def _check(node, x, u, atol=2e-4):
-    d = node.calc_diff(x, u)
+    d = jit_calc_diff(node, x, u)
     Fx, Fu, Lx, Lu = numdiff_fxlx(node, x, u)
     np.testing.assert_allclose(np.asarray(d.Fx), Fx, atol=atol)
     np.testing.assert_allclose(np.asarray(d.Fu), Fu, atol=atol)

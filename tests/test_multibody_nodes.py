@@ -26,6 +26,7 @@ from crocoddyl_tpu.models.multibody.costs import (
     CostControl, CostFramePlacement, CostFrameTranslation, CostState)
 from crocoddyl_tpu.models.multibody.nodes import (
     CostStack, ImpulseNode, RigidBodyNode)
+from crocoddyl_tpu.utils.numdiff import jit_calc, jit_calc_diff
 from crocoddyl_tpu.utils.numdiff import numdiff_fxlx as numdiff_node
 
 one = jnp.ones(())
@@ -53,7 +54,7 @@ def test_free_node_derivatives_vs_numdiff(robot):
     key = jax.random.PRNGKey(0)
     x = st.rand(key)
     u = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (node.nu,))
-    d = node.calc_diff(x, u)
+    d = jit_calc_diff(node, x, u)
     Fx, Fu, Lx, Lu = numdiff_node(node, x, u)
     np.testing.assert_allclose(np.asarray(d.Fx), Fx, atol=5e-5)
     np.testing.assert_allclose(np.asarray(d.Fu), Fu, atol=5e-5)
@@ -119,7 +120,7 @@ def test_contact_node_constraint_satisfied():
 def test_contact_node_derivatives_vs_numdiff():
     node, x0 = quadruped_contact_node()
     u = node.quasi_static(x0)
-    d = node.calc_diff(x0, u)
+    d = jit_calc_diff(node, x0, u)
     Fx, Fu, Lx, Lu = numdiff_node(node, x0, u)
     np.testing.assert_allclose(np.asarray(d.Fx), Fx, atol=2e-4)
     np.testing.assert_allclose(np.asarray(d.Fu), Fu, atol=2e-4)
@@ -136,7 +137,7 @@ def test_inactive_contact_zero_force():
 def test_pseudo_impulse_dt0():
     node, x0 = quadruped_contact_node(dt=0.0)
     u = jnp.zeros(node.nu)
-    xnext, cost = node.calc(x0, u)
+    xnext, cost = jit_calc(node, x0, u)
     np.testing.assert_allclose(np.asarray(xnext), np.asarray(x0), atol=0)
     assert np.isfinite(float(cost))
 
@@ -155,7 +156,7 @@ def test_impulse_node_kills_contact_velocity():
     node = ImpulseNode(state_=st, impulses=ContactSet(contacts=tuple(imps)),
                        costs=CostStack(items=()), nu_=12,
                        r_coeff=jnp.zeros(()))
-    xnext, cost = node.calc(x, jnp.zeros(12))
+    xnext, cost = jit_calc(node, x, jnp.zeros(12))
     q1, v1 = xnext[:rmodel.nq], xnext[rmodel.nq:]
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q0), atol=0)
     kin = algo.KinCache(rmodel, q1, v1)
