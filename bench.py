@@ -223,13 +223,15 @@ def main():
             aux["cost_analysis_error"] = str(e)
 
         # ---- small-batch MPC replan latency (p50) -------------------------
-        # measured twice: sequential Riccati and the horizon-parallel
-        # (associative-scan) Riccati — the backward pass is the latency
-        # lever at B=1 (PERF_NOTES; parallel_riccati.py)
-        def latency_p50(pr):
+        # measured in three configurations: sequential; horizon-parallel
+        # (associative-scan) Riccati; and MS+PR = multiple-shooting chunked
+        # rollout + parallel Riccati — the two sequential-depth levers at
+        # B=1 (PERF_NOTES; parallel_riccati.py, fddp ms_chunk)
+        def latency_p50(pr, ms=0):
             st_lat = SolverSettings(
                 maxiter=maxiter, record_trace=False,
-                parallel_linesearch=False, parallel_riccati=pr)
+                parallel_linesearch=False, parallel_riccati=pr,
+                ms_chunk=ms)
 
             def run_lat(x0s):
                 def one(x0_i):
@@ -255,6 +257,11 @@ def main():
                 aux["replan_latency_b1_pr_p50_ms"] = latency_p50(True)
             except Exception as e:  # pragma: no cover
                 aux["latency_pr_error"] = str(e)[:300]
+            try:
+                aux["replan_latency_b1_mspr_p50_ms"] = latency_p50(
+                    True, ms=int(os.environ.get("BENCH_MS_CHUNK", "12")))
+            except Exception as e:  # pragma: no cover
+                aux["latency_mspr_error"] = str(e)[:300]
 
         # ---- per-stage split (calc_diff / backward / forward) -------------
         def stage_times():

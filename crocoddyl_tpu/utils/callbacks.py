@@ -91,6 +91,26 @@ def load_solution(filename: str) -> dict:
         return pickle.load(f)
 
 
+def save_solution_csv(prefix: str, solution, dt: Optional[float] = None
+                      ) -> list:
+    """RH5-style CSV logging (RH5/utils/utils.py:845 logSolution): writes
+    ``<prefix>_xs.csv`` (time + state rows) and ``<prefix>_us.csv``
+    (time + control rows); returns the file names."""
+    xs = np.asarray(solution.xs)
+    us = np.asarray(solution.us)
+    names = []
+    for tag, arr in (("xs", xs), ("us", us)):
+        t = (np.arange(arr.shape[0]) * (dt if dt is not None else 1.0)
+             )[:, None]
+        out = np.concatenate([t, arr], axis=1)
+        fname = f"{prefix}_{tag}.csv"
+        header = "t," + ",".join(
+            f"{tag[0]}{i}" for i in range(arr.shape[1]))
+        np.savetxt(fname, out, delimiter=",", header=header, comments="")
+        names.append(fname)
+    return names
+
+
 def plot_oc_solution(solution=None, xs=None, us=None, show: bool = True,
                      fig_index: int = 1):
     """plotOCSolution analogue (bindings __init__.py:384-424)."""
