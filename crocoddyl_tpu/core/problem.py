@@ -69,6 +69,49 @@ class ShootingProblem(struct.PyTreeNode):
             i += n
         return out
 
+    def _seg_groups(self):
+        """Segment indices grouped by pytree structure.  Heterogeneous gait
+        problems interleave many same-structure segments (e.g. 5 RigidBody
+        runs + 4 Impulse switches); evaluating each group with ONE vmap over
+        the gathered knots cuts tracing/compile time from O(n_segments) to
+        O(n_unique_structures) node-graph traces."""
+        groups, order = {}, []
+        for si, seg in enumerate(self.segments):
+            key = jax.tree.structure(seg)
+            if key not in groups:
+                groups[key] = []
+                order.append(key)
+            groups[key].append(si)
+        return [groups[k] for k in order]
+
+    def _grouped_apply(self, fn, xs, us):
+        """Apply ``fn(model, x, u)`` vmapped over every knot, tracing the node
+        graph once per unique segment structure; returns the per-segment
+        output list in time order."""
+        segs = self.segments
+        slices = self._seg_slices()
+        outs = [None] * len(segs)
+        for idxs in self._seg_groups():
+            if len(idxs) == 1:
+                si = idxs[0]
+                i, j = slices[si]
+                outs[si] = jax.vmap(fn)(segs[si], xs[i:j], us[i:j])
+                continue
+            cat = jax.tree.map(
+                lambda *ls: jnp.concatenate(ls, axis=0),
+                *[segs[si] for si in idxs])
+            xs_cat = jnp.concatenate([xs[slices[si][0]:slices[si][1]]
+                                      for si in idxs], axis=0)
+            us_cat = jnp.concatenate([us[slices[si][0]:slices[si][1]]
+                                      for si in idxs], axis=0)
+            out_cat = jax.vmap(fn)(cat, xs_cat, us_cat)
+            off = 0
+            for si in idxs:
+                n = self.seg_lengths[si]
+                outs[si] = jax.tree.map(lambda l: l[off:off + n], out_cat)
+                off += n
+        return outs
+
     # ------------------------------------------------------------------
     def calc(self, xs: jax.Array, us: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """Evaluate every node at the given trajectory.
@@ -76,24 +119,18 @@ class ShootingProblem(struct.PyTreeNode):
         Returns (xnexts (T, nx), costs (T+1,)) — costs[T] is the terminal
         cost.  Mirrors ShootingProblem::calc (shooting.hxx:133-161).
         """
-        xnexts, costs = [], []
-        for seg, (i, j) in zip(self.segments, self._seg_slices()):
-            xn, c = jax.vmap(lambda m, x, u: m.calc(x, u))(
-                seg, xs[i:j], us[i:j])
-            xnexts.append(xn)
-            costs.append(c)
+        outs = self._grouped_apply(lambda m, x, u: m.calc(x, u), xs, us)
         cterm = self.terminal.calc_terminal(xs[-1])
-        return (jnp.concatenate(xnexts, axis=0),
-                jnp.concatenate(costs + [cterm[None]]))
+        return (jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs] + [cterm[None]]))
 
     def calc_diff(self, xs: jax.Array, us: jax.Array) -> Tuple[NodeDerivs, NodeDerivs]:
         """Derivatives of every node, stacked over T, plus terminal derivs.
 
         Mirrors ShootingProblem::calcDiff (shooting.hxx:163-196).
         """
-        derivs = _concat_tree([
-            jax.vmap(lambda m, x, u: m.calc_diff(x, u))(seg, xs[i:j], us[i:j])
-            for seg, (i, j) in zip(self.segments, self._seg_slices())])
+        derivs = _concat_tree(
+            self._grouped_apply(lambda m, x, u: m.calc_diff(x, u), xs, us))
         dterm = self.terminal.calc_diff_terminal(xs[-1])
         return derivs, dterm
 
@@ -101,9 +138,7 @@ class ShootingProblem(struct.PyTreeNode):
         """One fused pass: (derivs, dterm, xnexts, costs) — what the solver's
         calcDiff step actually needs (derivatives + gaps + cost,
         ddp.cpp:157-178) without evaluating the dynamics twice."""
-        outs = [jax.vmap(lambda m, x, u: m.calc_both(x, u))(
-            seg, xs[i:j], us[i:j])
-            for seg, (i, j) in zip(self.segments, self._seg_slices())]
+        outs = self._grouped_apply(lambda m, x, u: m.calc_both(x, u), xs, us)
         derivs = _concat_tree([o[0] for o in outs])
         xnexts = jnp.concatenate([o[1] for o in outs], axis=0)
         costs = jnp.concatenate([o[2] for o in outs], axis=0)
@@ -127,6 +162,7 @@ class ShootingProblem(struct.PyTreeNode):
         return jnp.concatenate(xs_parts + [x[None]], axis=0)
 
     def quasi_static(self, xs: jax.Array) -> jax.Array:
-        return jnp.concatenate([
-            jax.vmap(lambda m, x: m.quasi_static(x))(seg, xs[i:j])
-            for seg, (i, j) in zip(self.segments, self._seg_slices())], axis=0)
+        outs = self._grouped_apply(
+            lambda m, x, u: m.quasi_static(x), xs[:-1],
+            jnp.zeros((self.T, 1), xs.dtype))
+        return jnp.concatenate(outs, axis=0)

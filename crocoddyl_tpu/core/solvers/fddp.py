@@ -457,6 +457,13 @@ def solve(problem: ShootingProblem,
     """Solve the shooting problem; mirrors SolverFDDP::solve (fddp.cpp:19-105)
     and SolverDDP::solve (ddp.cpp:41-118) when ``feasibility_driven=False``."""
     s = settings
+    if s.ms_chunk > 0 and not s.feasibility_driven:
+        # Chunk-boundary defects are only sound under the gap-tracked FDDP
+        # machinery: plain DDP zeroes fs in the rollout and never measures
+        # or contracts the boundary mismatches, so it could declare
+        # convergence on a dynamically inconsistent trajectory.
+        raise ValueError("ms_chunk > 0 requires feasibility_driven=True "
+                         "(multiple-shooting defects are FDDP gaps)")
     T = problem.T
     st = problem.state
     nu = problem.nu
@@ -546,42 +553,30 @@ def solve(problem: ShootingProblem,
                 return backward_pass_parallel(derivs, dterm, fs, xreg, ureg)
             return _backward_pass(derivs, dterm, fs, xreg, ureg, box_args)
 
-        def bp_probe(reg):
-            return _backward_pass(derivs, dterm, fs, reg, reg, box_args,
-                                  probe=True)
-
-        Vx, Vxx, Qu, kvec, K, Quuk, failed = bp(st_.xreg, st_.ureg)
-
-        # Regularization escalation (ddp.cpp:56-70 semantics: retry with
-        # reg ×10 until the factorization succeeds or regmax).  Instead of
-        # up-to-18 SEQUENTIAL backward passes, probe ALL decade candidates
-        # in one vmapped carry-only pass (no stacked outputs, so memory is
-        # one (ndx,ndx) carry per candidate) and run the real backward once
-        # at the first succeeding reg — decision-identical to the ladder.
-        # The while_loop wrapper keeps the sweep conditional under vmap
-        # (body executes at most once, and only when some element failed).
-        n_dec = max(1, int(math.ceil(
-            math.log10(s.regmax) - math.log10(s.regmin))))
-
+        # Regularization escalation (ddp.cpp:56-70): retry with reg ×10
+        # until the factorization succeeds or regmax — the reference's
+        # exception-driven ladder as a masked while_loop whose body contains
+        # the ONLY instantiation of the backward pass (compile-time: one
+        # traced Riccati scan per solve instead of three).  The common case
+        # executes the body exactly once; under vmap a failing batch element
+        # costs everyone one extra masked pass (rare).
         def retry_cond(c):
             _, _, pending = c
             return pending
 
         def retry_body(c):
-            res, (xreg, ureg), _ = c
-            dtt = xreg.dtype
-            ks = jnp.arange(1, n_dec + 1, dtype=dtt)
-            cands = jnp.minimum(xreg * regfactor ** ks, regmax)
-            fails = jax.vmap(bp_probe)(cands)         # (n_dec,) bool
-            ok = ~fails
-            idx = jnp.argmax(ok)                      # first success
-            reg_new = jnp.where(ok.any(), cands[idx],
-                                jnp.asarray(s.regmax, dtt))
-            res_n = bp(reg_new, reg_new)
-            return res_n, (reg_new, reg_new), jnp.zeros((), bool)
+            res_prev, (xreg, ureg), _ = c
+            res_n = bp(xreg, ureg)
+            failed_n = res_n[-1]
+            can_retry = failed_n & (xreg < regmax)
+            reg_new = jnp.where(can_retry,
+                                jnp.minimum(xreg * regfactor, regmax), xreg)
+            return res_n, (reg_new, reg_new), can_retry
 
-        init = ((Vx, Vxx, Qu, kvec, K, Quuk, failed), (st_.xreg, st_.ureg),
-                failed & ~(st_.xreg >= regmax))
+        res0 = jax.tree.map(
+            lambda sh: jnp.zeros(sh.shape, sh.dtype),
+            jax.eval_shape(lambda: bp(st_.xreg, st_.ureg)))
+        init = (res0, (st_.xreg, st_.ureg), jnp.ones((), bool))
         (res, (xreg, ureg), _) = jax.lax.while_loop(retry_cond, retry_body, init)
         Vx, Vxx, Qu, kvec, K, Quuk, failed = res
         diverged = st_.diverged | failed  # still failing at regmax ⇒ abort
@@ -639,7 +634,9 @@ def solve(problem: ShootingProblem,
             steplength = jnp.where(any_acc, alphas[idx], alphas[-1])
             pick = lambda arr: arr[idx]
         else:
-            # sequential backtracking with early exit (ddp.cpp:78-94)
+            # sequential backtracking with early exit (ddp.cpp:78-94);
+            # the loop body holds the ONLY instantiation of the trial
+            # rollout (i starts at 0 with acc=False, so it runs >= once)
             def ls_cond(c):
                 i, acc, _ = c
                 return (i < s.n_alphas) & ~acc
@@ -649,9 +646,12 @@ def solve(problem: ShootingProblem,
                 out = trial(alphas[i])
                 return (i + 1, out[3], out)
 
-            out0 = trial(alphas[0])
+            out0 = jax.tree.map(
+                lambda sh: jnp.zeros(sh.shape, sh.dtype),
+                jax.eval_shape(lambda: trial(alphas[0])))
             i_fin, any_acc, out = jax.lax.while_loop(
-                ls_cond, ls_body, (jnp.ones((), jnp.int32), out0[3], out0))
+                ls_cond, ls_body,
+                (jnp.zeros((), jnp.int32), jnp.zeros((), bool), out0))
             xs_t, us_t, cost_t, _, dV, dVexp, d0s, d1s = out
             steplength = alphas[jnp.minimum(i_fin - 1, s.n_alphas - 1)]
             pick = lambda arr: arr

@@ -1,6 +1,9 @@
 """Arm reaching task (reference: examples/arm_manipulation.py — Talos arm
 reaching a goal with DDP; golden log examples/log/arm_manipulation.log)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -3,6 +3,9 @@
 targets, each phase with running goal w=1e1, xReg 1e-1, ctrlReg 1e-3 and a
 terminal goal w=1e5 knot)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -10,6 +10,9 @@ parallel — hyperparameter search at the cost of one solve.
 Run:  python examples/baumgarte_grid_search.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+
 import numpy as np
 import jax
 import jax.numpy as jnp

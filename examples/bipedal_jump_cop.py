@@ -9,6 +9,10 @@ Run:  python examples/bipedal_jump_cop.py [--forward]
       (--forward adds a 0.3 m forward displacement to the jump)
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+
+import os
 import sys
 
 import numpy as np
@@ -49,6 +53,7 @@ def main(forward=False):
                    settings=ct.SolverSettings(maxiter=200))
     ct.print_trace(sol, "bipedal_jump_cop" + ("_forward" if forward else ""))
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bipedal_walk_cop import cop_in_support
     worst = cop_in_support(problem, sol)
     print("worst CoP-barrier violation (>= 0 is inside support):",

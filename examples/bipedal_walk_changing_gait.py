@@ -3,6 +3,9 @@ different step lengths/heights, each warm-started from the previous phase
 (reference: examples/bipedal_walk_changing_gait.py — GAITPHASES list solved
 sequentially with the final state of phase i seeding phase i+1)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+
 import numpy as np
 import jax.numpy as jnp
 

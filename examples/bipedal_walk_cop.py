@@ -10,6 +10,9 @@ inside each foot's support rectangle) over the SimpleBipedGaitProblem recipe
 Run:  python examples/bipedal_walk_cop.py [--impulse]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+
 import sys
 
 import numpy as np

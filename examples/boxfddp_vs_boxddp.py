@@ -1,6 +1,9 @@
 """Box-FDDP vs Box-DDP comparison on a control-limited reaching task
 (reference: examples/boxfddp_vs_boxddp.py)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+
 import numpy as np
 import jax.numpy as jnp
 

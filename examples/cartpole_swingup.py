@@ -1,6 +1,9 @@
 """Cartpole swing-up (reference: examples/notebooks/cartpole_swing_up.ipynb —
 user-defined action model; here built from the rigid-body stack directly)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -4,6 +4,9 @@ utils/pendulum.py costs; golden log examples/log/double_pendulum.log).
 Pass ``ubound=True`` for the squashed-control variant
 (double_pendulum_ubound)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -3,6 +3,9 @@
 humanoid_manipulation solved with SolverBoxFDDP under reduced effort
 limits)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+
 import os
 import sys
 

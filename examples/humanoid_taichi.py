@@ -1,6 +1,9 @@
 """Humanoid 'taichi' pose sequence: single-support balancing while tracking a
 sequence of gripper targets (reference: examples/humanoid_taichi.py)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+
 import numpy as np
 import jax.numpy as jnp
 

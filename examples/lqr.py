@@ -1,6 +1,9 @@
 """LQR sanity problem (reference: benchmark/lqr-optctrl.cpp and the LQR
 action models in core/actions/lqr.hpp)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+
 import jax
 import jax.numpy as jnp
 

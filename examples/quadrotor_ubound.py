@@ -2,6 +2,9 @@
 (reference: examples/quadrotor_ubound.py, golden log
 examples/log/quadrotor_ubound.log: BoxFDDP with per-rotor thrust limits)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+
 import os
 import sys
 

@@ -2,6 +2,9 @@
 (reference: examples/quadrupedal_gaits.py; golden log
 examples/log/quadrupedal_gaits.log — walking converges in ~13 iterations)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+
 import sys
 
 import numpy as np

@@ -1,6 +1,9 @@
 """Quadrupedal walking with control bounds via Box-FDDP
 (reference: examples/quadrupedal_walk_ubound.py)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+
 import numpy as np
 import jax.numpy as jnp
 

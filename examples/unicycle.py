@@ -1,6 +1,9 @@
 """Unicycle point-stabilization (reference: examples/unicycle_towards_origin.py,
 golden log examples/log/unicycle_towards_origin.log)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+
 import jax
 import jax.numpy as jnp
 
