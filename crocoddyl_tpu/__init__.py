@@ -12,8 +12,8 @@ from .core.action import ActionModel, NodeDerivs, stack_models, replicate_model
 from .core.problem import ShootingProblem
 from .core.mpc import circular_append, shift_warm_start
 from .core.solvers.fddp import (
-    SolverSettings, Solution, Trace, solve, ddp_settings, fddp_settings,
-    box_ddp_settings, box_fddp_settings,
+    SolverSettings, Solution, Trace, solve, polish, ddp_settings,
+    fddp_settings, box_ddp_settings, box_fddp_settings,
 )
 from .core.solvers import boxqp, kkt
 from .utils.casting import cast_floats

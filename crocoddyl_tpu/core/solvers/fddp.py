@@ -733,6 +733,26 @@ def solve(problem: ShootingProblem,
     )
 
 
+def polish(problem: ShootingProblem, solution: Solution, iters: int = 2,
+           dtype=jnp.float64, settings: Optional[SolverSettings] = None
+           ) -> Solution:
+    """Mixed-precision refinement: warm-start a few float64 iterations from
+    a float32 solution.
+
+    The f32 (TPU-throughput) solve converges to its gradient floor
+    (stop ≈ 1e-5-scale on robot problems), which leaves ~1e-4-relative
+    control deviation vs a full f64 solve; two f64 polish iterations drive
+    that below 1e-5 — the precision policy used to meet the north star's
+    <1e-4 control-deviation budget (see PARITY.md)."""
+    from ...utils.casting import cast_floats
+    p = cast_floats(problem, dtype)
+    s = settings if settings is not None else SolverSettings(
+        th_stop=1e-9, record_trace=False)
+    s = s.replace(maxiter=iters)
+    return solve(p, xs_init=solution.xs.astype(dtype),
+                 us_init=solution.us.astype(dtype), settings=s)
+
+
 def ddp_settings(**kw) -> SolverSettings:
     return SolverSettings(feasibility_driven=False, **kw)
 

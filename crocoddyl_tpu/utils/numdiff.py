@@ -152,3 +152,38 @@ def numdiff_activation(activation, r, h: float = None):
     Arr = jax.vmap(
         lambda ei: (activation.calc(r + h * ei)[1] - Ar0) / h)(e)
     return Ar, jnp.diagonal(Arr.T)
+
+
+def numdiff_contact(contact, state, x, a=None, h: float = None):
+    """FD derivatives of one contact model (the reference's
+    ContactModelNumDiff, multibody/numdiff/contact.hpp): columns of
+    ``da0_dx`` (nc, ndx) and of ``d(Jc·a)_dx`` (nc, ndx) for a fixed
+    joint acceleration ``a`` — the two x-derivative blocks the contact
+    dynamics consumes (contact-fwddyn.hxx:126-159).  Disturbance columns
+    are taken along manifold tangents via ``state.integrate(x, h·e_i)``
+    (core/numdiff/action.hxx:60-97 convention)."""
+    from ..dynamics import algorithms as algo
+    from ..models.multibody.nodes import NodeCache
+
+    h = DISTURBANCE if h is None else h
+    x = jnp.asarray(x)
+    h = jnp.asarray(h, x.dtype)
+    st = state
+    nq = st.nq
+    if a is None:
+        a = jnp.zeros((st.nv,), x.dtype)
+
+    def eval_at(xi):
+        kin = algo.KinData(st.model, xi[:nq], xi[nq:])
+        J, a0 = contact.calc(NodeCache(kin))
+        return J, a0
+
+    J0, a00 = eval_at(x)
+    e = jnp.eye(st.ndx, dtype=x.dtype)
+
+    def col(ei):
+        Ji, a0i = eval_at(st.integrate(x, h * ei))
+        return (a0i - a00) / h, (Ji - J0) @ a / h
+
+    da0_cols, dJa_cols = jax.vmap(col)(e)
+    return J0, a00, da0_cols.T, dJa_cols.T
