@@ -161,10 +161,15 @@ def main():
     detail = os.environ.get("BENCH_DETAIL", "0") == "1"
     dtype = jnp.float32
 
-    if which == "quadruped":
-        prob, x0 = quadruped_problem(dtype)
-    else:
-        prob, x0 = unicycle_problem(dtype)
+    # Build the problem on the host CPU backend: factory construction is
+    # eager (FK sweeps, quasi-static setup), and each eager op on the TPU
+    # backend pays ~0.4 s of XLA compile — minutes of cold-start for zero
+    # benchmark value.  jit moves the arrays to the TPU at the first call.
+    with jax.default_device(jax.devices("cpu")[0]):
+        if which == "quadruped":
+            prob, x0 = quadruped_problem(dtype)
+        else:
+            prob, x0 = unicycle_problem(dtype)
     T = prob.T
 
     # Sequential early-exit line search: warm-started MPC steps accept the
@@ -172,13 +177,17 @@ def main():
     # wasted FLOPs here (ddp.cpp:78-94 semantics).
     settings = SolverSettings(
         maxiter=maxiter, record_trace=False, parallel_linesearch=False,
-        parallel_riccati=os.environ.get("BENCH_PR", "0") == "1")
+        parallel_riccati=os.environ.get("BENCH_PR", "0") == "1",
+        scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+        ms_chunk=int(os.environ.get("BENCH_MS", "0")))
 
     # Warm start: quasi-static controls from the default stance, the
     # MPC-replan configuration (solver warm-started at the solution
     # neighborhood, maxiter=1 — quadrupedal-gaits-optctrl.cpp:60-72).
+    # quasi_static is jitted: eagerly it dispatches hundreds of tiny TPU
+    # programs at ~0.4 s XLA-compile each (minutes of cold-start wall).
     xs0 = jnp.tile(prob.x0[None], (T + 1, 1))
-    us0 = prob.quasi_static(xs0)
+    us0 = jax.jit(prob.quasi_static)(xs0)
     x0s = _perturbed_x0s(prob, x0, B, dtype, which)
 
     def run_fn(x0s):

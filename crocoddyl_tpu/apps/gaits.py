@@ -498,3 +498,74 @@ class BipedGaitFactory(_LocomotionFactory):
                                         step_height, dt, step_knots, [R], [L],
                                         pseudo_impulse)
         return self._problem(x0, models)
+
+    # ------------------------------------------------------------------
+    # RH5 thesis problem variants (RH5/utils/walkProblem.py)
+    # ------------------------------------------------------------------
+    def squat_problem(self, x0, height_change, num_knots, dt,
+                      recovery_knots: int = 20) -> ShootingProblem:
+        """RH5 squat (walkProblem.py:193-221 createSquatProblem): the CoM
+        descends ``height_change`` over the first half of the horizon,
+        returns over the second half, then holds ``recovery_knots`` knots
+        at the reference so the final CoM equals it."""
+        x0 = np.asarray(x0)
+        com_ref, _ = self._com_ref(x0[:self.model.nq])
+        both = (0, 1)
+        models = []
+        ph = num_knots / 2
+        for k in range(num_knots):
+            if k < ph:
+                dz = -height_change * (k + 1) / ph
+            elif k == ph:
+                dz = -height_change
+            else:
+                dz = -height_change * (1 - (k - ph) / ph)
+            models.append(self._make_node(
+                dt, both, com_task=com_ref + np.array([0.0, 0.0, dz])))
+        models += [self._make_node(dt, both, com_task=com_ref)
+                   for _ in range(recovery_knots)]
+        return self._problem(x0, models)
+
+    def balancing_problem(self, x0, support_knots, shift_knots,
+                          balance_knots, dt,
+                          lift=(0.0, -0.05, 0.05),
+                          pseudo_impulse: bool = True) -> ShootingProblem:
+        """RH5 single-leg balancing (walkProblem.py:223-281
+        createBalancingProblem): shift the CoM over the left foot, raise
+        the right foot along ``lift`` and bring it back, replant (impulse
+        or pseudo-impulse), shift the CoM back, then stabilize on the
+        default pose."""
+        R, L = 0, 1
+        x0 = np.asarray(x0)
+        com_ref, (rf, lf) = self._com_ref(x0[:self.model.nq])
+        both = (R, L)
+        models = [self._make_node(dt, both) for _ in range(support_knots)]
+        com_y = lf[1] - com_ref[1]
+        for k in range(shift_knots):
+            com_task = com_ref + np.array(
+                [0.0, com_y * (k + 1) / shift_knots, 0.0])
+            models.append(self._make_node(dt, both, com_task=com_task))
+        com_over_lf = np.array([com_ref[0], lf[1], com_ref[2]])
+        lift = np.asarray(lift, np.float64)
+        ph = balance_knots / 2
+        for k in range(balance_knots):
+            if k < ph:
+                ft = rf + lift * ((k + 1) / ph)
+            elif k == ph:
+                ft = rf + lift
+            else:
+                ft = rf + lift * (1 - (k - ph) / ph)
+            models.append(self._make_node(dt, (L,), com_task=com_over_lf,
+                                          foot_tasks={R: ft}))
+        if pseudo_impulse:
+            models.append(self._make_node(0.0, both, foot_tasks={R: rf},
+                                          switch=True))
+        else:
+            models.append(self._make_impulse_node(both, {R: rf}))
+        for k in range(shift_knots):
+            com_task = com_ref + np.array(
+                [0.0, com_y * (1 - k / shift_knots), 0.0])
+            models.append(self._make_node(dt, both, com_task=com_task))
+        models += [self._make_node(dt, both, com_task=com_ref)
+                   for _ in range(support_knots)]
+        return self._problem(x0, models)

@@ -89,6 +89,12 @@ class SolverSettings(struct.PyTreeNode):
     # below th_gaptol (a full-step rollout no longer closes gaps exactly).
     ms_chunk: int = struct.field(pytree_node=False, default=0)
     th_gaptol: float = struct.field(pytree_node=False, default=1e-7)
+    # lax.scan unroll factor for the Riccati backward recursion and the
+    # rollout scans.  The per-iteration math at robot sizes (ndx=36) is far
+    # below the TPU's launch/loop overhead, so merging k steps per while
+    # iteration cuts the loop bookkeeping + carry copies ~k× at the cost of
+    # a k× larger loop body (compile time).  1 = reference-shaped loops.
+    scan_unroll: int = struct.field(pytree_node=False, default=1)
     record_trace: bool = struct.field(pytree_node=False, default=True)
     # Box-constrained variants (SolverBoxDDP/BoxFDDP; box-ddp.cpp:16-28):
     # per-node BoxQP over du bounds, clamped forward pass, th_stop 5e-5.
@@ -178,7 +184,7 @@ class _IterState(struct.PyTreeNode):
 # ----------------------------------------------------------------------------
 
 def _backward_pass(derivs, dterm, fs, xreg, ureg, box_args=None,
-                   probe=False):
+                   probe=False, unroll=1):
     """``box_args`` enables the BoxDDP/BoxFDDP gain computation
     (box-ddp.cpp:46-75): (us, u_lb, u_ub, k_warm, feasible, qp_settings).
 
@@ -263,7 +269,7 @@ def _backward_pass(derivs, dterm, fs, xreg, ureg, box_args=None,
     else:
         xs_in = (derivs, fs[:-1], us, u_lb, u_ub, k_warm)
     (_, _, failed), outs = jax.lax.scan(
-        step, (Vx_T, Vxx_T, failed0), xs_in, reverse=True)
+        step, (Vx_T, Vxx_T, failed0), xs_in, reverse=True, unroll=unroll)
     if probe:
         return failed
     Vx_r, Vxx_r, Qu, kvec, K, Quuk = outs
@@ -277,7 +283,7 @@ def _backward_pass(derivs, dterm, fs, xreg, ureg, box_args=None,
 # ----------------------------------------------------------------------------
 
 def _forward_pass(problem: ShootingProblem, xs, us, k, K, fs, alpha,
-                  u_lb=None, u_ub=None):
+                  u_lb=None, u_ub=None, unroll=1):
     """One trial rollout at step length ``alpha``.
 
     ``fs`` must already be zeroed for the feasible / plain-DDP case; then this
@@ -310,7 +316,7 @@ def _forward_pass(problem: ShootingProblem, xs, us, k, K, fs, alpha,
     for seg, (i, j) in zip(problem.segments, problem._seg_slices()):
         carry, (xs_s, us_s) = jax.lax.scan(
             step, carry, (seg, xs[i:j], us[i:j], k[i:j], K[i:j],
-                          fs[i:j], u_lb[i:j], u_ub[i:j]))
+                          fs[i:j], u_lb[i:j], u_ub[i:j]), unroll=unroll)
         xs_parts.append(xs_s)
         us_parts.append(us_s)
     xnext, cost_try, failed = carry
@@ -551,7 +557,8 @@ def solve(problem: ShootingProblem,
             if s.parallel_riccati and not s.box:
                 from .parallel_riccati import backward_pass_parallel
                 return backward_pass_parallel(derivs, dterm, fs, xreg, ureg)
-            return _backward_pass(derivs, dterm, fs, xreg, ureg, box_args)
+            return _backward_pass(derivs, dterm, fs, xreg, ureg, box_args,
+                                  unroll=s.scan_unroll)
 
         # Regularization escalation (ddp.cpp:56-70): retry with reg ×10
         # until the factorization succeeds or regmax — the reference's
@@ -606,7 +613,7 @@ def solve(problem: ShootingProblem,
             else:
                 xs_try, us_try, cost_try, failed = _forward_pass(
                     problem, st_.xs, st_.us, st_.k, st_.K, fs_fwd, alpha,
-                    *bounds)
+                    *bounds, unroll=s.scan_unroll)
             dV = st_.cost - cost_try
             if s.feasibility_driven:
                 # fddp.cpp:107-124 expectedImprovement at the trial point

@@ -12,6 +12,13 @@ Run:  python examples/baumgarte_grid_search.py
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+if _os.environ.get("CROCODDYL_TPU_EXAMPLES_BACKEND", "cpu64") == "cpu64":
+    # examples are analysis scripts: run f64 on CPU like the
+    # reference (set CROCODDYL_TPU_EXAMPLES_BACKEND=native to keep
+    # the default device/precision, e.g. TPU f32)
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+    _jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import jax
@@ -59,6 +66,20 @@ def main(grid=(0.0, 12.5, 25.0, 50.0, 100.0, 200.0)):
     print(f"{'Kv':>8} {'converged':>10} {'iters':>6} {'final cost':>14}")
     for kv, c, it, cv in zip(grid, costs, iters, conv):
         print(f"{kv:8.1f} {str(bool(cv)):>10} {int(it):6d} {float(c):14.6e}")
+
+    # result artifact (RH5/plotGridSearch.py reads result trees; we commit
+    # one CSV per sweep): examples/log/baumgarte_grid_search.csv
+    import csv
+    logdir = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                           "log")
+    _os.makedirs(logdir, exist_ok=True)
+    path = _os.path.join(logdir, "baumgarte_grid_search.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["kv", "converged", "iters", "final_cost"])
+        for kv, c, it, cv in zip(grid, costs, iters, conv):
+            w.writerow([kv, bool(cv), int(it), float(c)])
+    print("wrote", path)
     return {float(kv): (float(c), int(it), bool(cv))
             for kv, c, it, cv in zip(grid, costs, iters, conv)}
 

@@ -3,6 +3,13 @@ user-defined action model; here built from the rigid-body stack directly)."""
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # allow running from any cwd
+if _os.environ.get("CROCODDYL_TPU_EXAMPLES_BACKEND", "cpu64") == "cpu64":
+    # examples are analysis scripts: run f64 on CPU like the
+    # reference (set CROCODDYL_TPU_EXAMPLES_BACKEND=native to keep
+    # the default device/precision, e.g. TPU f32)
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+    _jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import jax.numpy as jnp
