@@ -644,3 +644,245 @@ def center_of_mass(model: RobotModel, q) -> jnp.ndarray:
 
 def total_mass(model: RobotModel) -> jnp.ndarray:
     return jnp.sum(model.mass)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form generalized-force derivatives (GEMM form)
+# ---------------------------------------------------------------------------
+
+def _CM(m):
+    """Matrix of s ↦ cross_motion(s, m) (m fixed), (..., 6, 6)."""
+    ml, ma = m[..., :3], m[..., 3:]
+    sl, sa = skew(ml), skew(ma)
+    z = jnp.zeros_like(sl)
+    top = jnp.concatenate([-sa, -sl], axis=-1)
+    bot = jnp.concatenate([z, -sa], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _CF(h):
+    """Matrix of s ↦ cross_force(s, h) (h fixed), (..., 6, 6)."""
+    hl, hn = h[..., :3], h[..., 3:]
+    sl, sn = skew(hl), skew(hn)
+    z = jnp.zeros_like(sl)
+    top = jnp.concatenate([z, -sl], axis=-1)
+    bot = jnp.concatenate([-sl, -sn], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _AD(v):
+    """Matrix of z ↦ cross_motion(v, z) (v fixed), (..., 6, 6)."""
+    vl, vw = v[..., :3], v[..., 3:]
+    swl, sww = skew(vl), skew(vw)
+    z = jnp.zeros_like(swl)
+    top = jnp.concatenate([sww, swl], axis=-1)
+    bot = jnp.concatenate([z, sww], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _ADs(v):
+    """Matrix of z ↦ cross_force(v, z) (v fixed), (..., 6, 6)."""
+    vl, vw = v[..., :3], v[..., 3:]
+    swl, sww = skew(vl), skew(vw)
+    z = jnp.zeros_like(swl)
+    top = jnp.concatenate([sww, z], axis=-1)
+    bot = jnp.concatenate([swl, sww], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def gforce_derivatives(kin: KinData, a, ext_w=None):
+    """Closed-form (dG_dq, dG_dv), each (nv, nv), of the generalized force
+
+        G(q, v) = M(q)·a + b(q, v) − Σ_c J_cᵀ(q)·ext_c
+
+    at fixed joint acceleration ``a`` and fixed world-frame external
+    wrenches ``ext_w`` (nj, 6; about the world origin, attached per body).
+    This is the reference's computeRNEADerivatives role
+    (contact-fwddyn.hxx:126-147) in TPU-native GEMM form: every term is a
+    per-body 6×6 kernel contracted through the masked world Jacobian
+    (result = Σ_i J_iᵀ K_i J_i + pair contractions), so no
+    (ndx, nj, 6) tangent towers are materialized — the intermediates are
+    (nj, nv, 6) and (nj, nv, nv) tensors feeding plain GEMMs.
+
+    Derivation: world-frame spatial-algebra identities (the same ones
+    behind kin_tangent_basis); d-direction derivatives of quantities on
+    body i are actions of the Jacobian column field S_d for d ⪯ i:
+      dS_e = [d⪯e] ad_{S_d} S_e,   dI_i = cf_{S_d} I_i − I_i cm_{S_d},
+      dv_i = [d⪯i](cm(S_d, v_i) − cm(S_d, w_d)),
+      dbias_i = [d⪯i]((PS_i − PS_{p(d)}) S_d − cm(cm(S_d, w_d), v_i − w_d))
+    with PS the ancestry prefix-sum of the per-joint bias kernels.
+    Exactness is pinned against jax.linearize of the sweep in
+    tests/test_gforce_derivs.py (atol 1e-8, f64).
+    """
+    model = kin.model
+    levels, v_off, nv, amask_np, dof_joint, _, _, _ = _meta(model)
+    dt = kin.q.dtype
+    nj = model.njoints
+    dofj = np.asarray(dof_joint)
+
+    amask = kin.amask                                    # (nj, nv) [e⪯i]
+    Am2 = jnp.asarray(amask_np[dofj].T, dt)              # (nv, nv) [d⪯e]
+    Jm = jnp.asarray(amask_np[:, np.asarray([v_off[k] for k in range(nj)])],
+                     dt)                                 # (nj, nj) [k⪯i]
+    parents = np.asarray(model.parents)
+    par_idx = jnp.asarray(np.where(parents == -1, 0, parents))
+    not_root = jnp.asarray((parents != -1).astype(np.float64), dt)
+
+    S = kin.Jcols                                        # (nv, 6)
+    vw = kin.vel_w                                       # (nj, 6)
+    vp_w = vw[par_idx] * not_root[:, None]               # (nj, 6) parent vel
+    vJ_w = vw - vp_w
+    dj = jnp.asarray(dofj)
+    wv = vp_w[dj]                                        # (nv, 6) w_d
+    vjd = vw[dj]                                         # (nv, 6) v_{joint(d)}
+    bias_w = kin.oMi.act_motion(kin.biasacc)             # (nj, 6)
+    g6 = jnp.concatenate([-model.gravity.astype(dt), jnp.zeros((3,), dt)])
+    Iw = kin.I_w.to_matrix()                             # (nj, 6, 6)
+
+    # world joint-space acceleration field u_i = (J a)_i
+    ua = S * a[:, None]                                  # (nv, 6)
+    u = jnp.einsum("ie,ex->ix", amask, ua)               # (nj, 6)
+    uw = (u[par_idx] * not_root[:, None])[dj]            # (nv, 6) u_{p(d)}
+
+    biasg = bias_w + g6                                  # (nj, 6)
+    a_w = biasg + u
+    h = kin.I_w.mul_motion(a_w)                          # (nj, 6) I·a_w
+    h2 = kin.I_w.mul_motion(vw)                          # (nj, 6) I·v
+    f = h + cross_force(vw, h2)                          # (nj, 6)
+    if ext_w is not None:
+        f = f - ext_w
+
+    # per-joint bias kernels K_k = CM(vJ)·CM(v) + AD(v)·CM(vJ); ancestry
+    # prefix sums PS_i = Σ_{k⪯i} K_k
+    CMv = _CM(vw)
+    CMvJ = _CM(vJ_w)
+    K = mm(CMvJ, CMv) + mm(_AD(vw), CMvJ)                # (nj, 6, 6)
+    PS = jnp.einsum("ik,kab->iab", Jm, K)                # (nj, 6, 6)
+    PS_pd = (PS[par_idx] * not_root[:, None, None])[dj]  # (nv, 6, 6)
+
+    CFh2 = _CF(h2)
+    ADsv = _ADs(vw)
+    # S_d-coefficient kernels
+    G_q = (_CF(h) - mm(Iw, _CM(biasg)) + mm(Iw, PS)
+           + mm(CFh2, CMv) + mm(ADsv, CFh2))
+    if ext_w is not None:
+        G_q = G_q - _CF(ext_w)
+    Gv = CFh2 + mm(ADsv, Iw) + mm(Iw, CMv)               # (nj, 6, 6)
+    # cw_d-coefficient kernel (q-direction): C = −Gv
+    # per-dof vectors
+    cw = cross_motion(S, wv)                             # (nv, 6) cm(S_d, w_d)
+    cu = cross_motion(S, uw)                             # (nv, 6)
+    z2 = cross_motion(cw, wv)                            # (nv, 6)
+    zeta_q = -cu - jnp.einsum("dab,db->da", PS_pd, S) + z2
+    cj = cross_motion(vjd, S)                            # (nv, 6)
+    zeta_v = -cw + cj
+
+    def pair_multi(kerns, rights):
+        """Σ_k Σ_i [e⪯i][d⪯i] S_eᵀ kerns[k]_i rights[k]_d → (nv, nv).
+
+        Factorized as ONE (nv, K·nj·6) @ (K·nj·6, nv) matmul per node:
+        the masked i-sum and the 6-dim contraction merge into a single
+        inner dimension, so no (nj, nv, nv) intermediate exists."""
+        K = jnp.stack(kerns)                             # (k, nj, 6, 6)
+        R = jnp.stack(rights)                            # (k, nv, 6)
+        t = jnp.einsum("ea,kiab->kieb", S, K)            # (k, nj, nv, 6)
+        A = (t * amask[None, :, :, None]).transpose(2, 0, 1, 3)
+        A = A.reshape(nv, -1)                            # (nv, k·nj·6)
+        Bm = (amask[None, :, None, :] * R.transpose(0, 2, 1)[:, None])
+        Bm = Bm.reshape(-1, nv)                          # (k·nj·6, nv)
+        return A @ Bm
+
+    # dS_e term: [d⪯e] S_dᵀ cf(S_e, F_e), F_e = subtree wrench sums
+    F = jnp.einsum("ie,ix->ex", amask, f)                # (nv, 6)
+    QF = cross_force(S, F)                               # (nv, 6)
+    T1 = jnp.einsum("eb,db->ed", QF, S) * Am2.T
+
+    dG_dq = T1 + pair_multi([G_q, Iw, -Gv], [S, zeta_q, cw])
+    dG_dv = pair_multi([Gv, Iw], [S, zeta_v])
+    return dG_dq, dG_dv
+
+
+class FrameTangents(NamedTuple):
+    """Closed-form x-tangents of frame-local quantities at one frame
+    (leading axis ndx = [dq (nv); dv (nv)]).  All built from per-dof
+    cross-products with the world Jacobian columns — no (ndx, nj, ·)
+    tensors (shares its subexpressions with gforce_derivatives via CSE)."""
+
+    dxi: jnp.ndarray   # (ndx, 6) local twist of the frame placement
+    dp: jnp.ndarray    # (ndx, 3) world frame-origin translation tangent
+    dv: jnp.ndarray    # (ndx, 6) frame-local spatial velocity tangent
+    dab: jnp.ndarray   # (ndx, 6) frame-local bias-acceleration tangent
+    dJa: jnp.ndarray   # (ndx, 6) tangent of J_frame_local·a (fixed a)
+
+
+def frame_tangents(kin: KinData, a, fid: int) -> FrameTangents:
+    """Closed-form tangents of the frame quantities contacts/costs read
+    (same spatial-algebra identities as gforce_derivatives; exactness
+    pinned against jax.linearize of the sweep in
+    tests/test_contacts_numdiff.py)."""
+    model = kin.model
+    levels, v_off, nv, amask_np, dof_joint, _, _, _ = _meta(model)
+    dt = kin.q.dtype
+    dofj = np.asarray(dof_joint)
+    j = model.frame_parents[fid]
+
+    parents = np.asarray(model.parents)
+    par_idx = jnp.asarray(np.where(parents == -1, 0, parents))
+    not_root = jnp.asarray((parents != -1).astype(np.float64), dt)
+    Jm = jnp.asarray(amask_np[:, np.asarray([v_off[k]
+                                             for k in range(model.njoints)])],
+                     dt)
+    dj = jnp.asarray(dofj)
+
+    S = kin.Jcols                                        # (nv, 6)
+    vw = kin.vel_w
+    vp_w = vw[par_idx] * not_root[:, None]
+    vJ_w = vw - vp_w
+    wv = vp_w[dj]                                        # (nv, 6)
+    vjd = vw[dj]
+    bias_w = kin.oMi.act_motion(kin.biasacc)
+
+    ua = S * a[:, None]
+    u = jnp.einsum("ie,ex->ix", kin.amask, ua)           # (nj, 6)
+    uw = (u[par_idx] * not_root[:, None])[dj]            # (nv, 6)
+
+    CMv = _CM(vw)
+    CMvJ = _CM(vJ_w)
+    K = mm(CMvJ, CMv) + mm(_AD(vw), CMvJ)
+    PS = jnp.einsum("ik,kab->iab", Jm, K)                # (nj, 6, 6)
+    PS_pd = (PS[par_idx] * not_root[:, None, None])[dj]  # (nv, 6, 6)
+
+    cw = cross_motion(S, wv)
+    cu = cross_motion(S, uw)
+
+    mask = kin.amask[j]                                  # (nv,)
+    Y = kin.frame_placement(fid)
+    Yinv = Y.inverse()
+    zq = jnp.zeros((nv, 3), dt)
+    z6 = jnp.zeros((nv, 6), dt)
+
+    # placement: local twist xi with [d⪯j] Ad_{Y⁻¹} S_d (q only)
+    dxi_q = mask[:, None] * Yinv.act_motion(S)
+    # world origin translation
+    dp_q = mask[:, None] * (S[:, :3] + jnp.cross(S[:, 3:], Y.p[None]))
+    # frame-local velocity
+    dv_q = -mask[:, None] * Yinv.act_motion(cw)
+    dv_v = mask[:, None] * Yinv.act_motion(S)
+    # J_frame_local·a (q only)
+    dJa_q = -mask[:, None] * Yinv.act_motion(cu)
+    # bias acceleration
+    vj = vw[j]
+    wdiff = vj[None] - wv                                # (nv, 6) v_j − w_d
+    dbias_w_q = (jnp.einsum("ab,db->da", PS[j], S)
+                 - jnp.einsum("dab,db->da", PS_pd, S)
+                 - cross_motion(cw, wdiff))
+    dab_q = mask[:, None] * Yinv.act_motion(
+        dbias_w_q - cross_motion(S, bias_w[j][None]))
+    dbias_w_v = cross_motion(S, wdiff) + cross_motion(vjd, S)
+    dab_v = mask[:, None] * Yinv.act_motion(dbias_w_v)
+
+    cat = jnp.concatenate
+    return FrameTangents(
+        dxi=cat([dxi_q, z6]), dp=cat([dp_q, zq]),
+        dv=cat([dv_q, dv_v]), dab=cat([dab_q, dab_v]),
+        dJa=cat([dJa_q, z6]))

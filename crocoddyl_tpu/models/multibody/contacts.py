@@ -60,6 +60,18 @@ class Contact3D(struct.PyTreeNode):
         J = cache.frame_jacobian_local(self.fid)[:3]
         return J
 
+    def calc_tangent(self, cache, ft):
+        """Closed-form d(−(Jc·a + a0))/dx (ndx, 3) from the frame tangents
+        (algorithms.frame_tangents); matches the reference's analytic
+        da0_dx chain (contact-3d.hxx:47-72)."""
+        vf = cache.frame_velocity(self.fid)
+        vv, vw = vf[:3], vf[3:]
+        dvv, dvw = ft.dv[:, :3], ft.dv[:, 3:]
+        da0 = (ft.dab[:, :3] + jnp.cross(dvw, vv[None])
+               + jnp.cross(vw[None], dvv)
+               + self.gains[0] * ft.dp + self.gains[1] * dvv)
+        return -(ft.dJa[:, :3] + da0)
+
 
 class Contact6D(struct.PyTreeNode):
     """Placement contact: a0 = a_spatial + Kp·log6(Mref⁻¹·oMf) + Kv·v
@@ -86,6 +98,18 @@ class Contact6D(struct.PyTreeNode):
 
     def calc_impulse(self, cache):
         return cache.frame_jacobian_local(self.fid)
+
+    def calc_tangent(self, cache, ft):
+        """Closed-form d(−(Jc·a + a0))/dx (ndx, 6): the log6 term chains
+        through Jlog6 applied to the placement's local twist tangent
+        (contact-6d.hxx:39-66 Jlog6 derivative)."""
+        oMf = cache.frame_placement(self.fid)
+        rMf = Transform(self.ref_R, self.ref_p).inverse().compose(oMf)
+        xi = lie.log6(rMf.R, rMf.p)
+        Jr_inv = lie.jac_se3_right_inv(xi)
+        dlog = ft.dxi @ Jr_inv.T
+        da0 = ft.dab + self.gains[0] * dlog + self.gains[1] * ft.dv
+        return -(ft.dJa + da0)
 
 
 class ContactSet(struct.PyTreeNode):
@@ -125,6 +149,17 @@ class ContactSet(struct.PyTreeNode):
             Js.append(J * m)
             masks.append(jnp.broadcast_to(m, (c.nc,)))
         return jnp.concatenate(Js, axis=0), jnp.concatenate(masks, axis=0)
+
+    def calc_tangents(self, kin, cache, a):
+        """Closed-form d(r2)/dx (ndx, nc) of the stacked masked contact
+        vector r2 = −(Jc·a + a0) — replaces sweep-linearization of the
+        contact stack in the node derivative path."""
+        from ...dynamics import algorithms as algo
+        outs = []
+        for c in self.contacts:
+            ft = algo.frame_tangents(kin, a, c.fid)
+            outs.append(c.calc_tangent(cache, ft) * c.active)
+        return jnp.concatenate(outs, axis=1)
 
 
 def _contact_kkt_raw(M, Jc, a0_neg_rhs, tau_minus_b, mask, damping):

@@ -39,6 +39,15 @@ class Cost(struct.PyTreeNode):
     def residual(self, st, cache, x, u):
         raise NotImplementedError
 
+    def residual_jac_x(self, st, cache, x, u, ft_of):
+        """Closed-form x-Jacobian of the residual, (nr, ndx), or None to
+        request the generic sweep-linearization path.  ``ft_of(fid)``
+        returns cached :class:`~...dynamics.algorithms.FrameTangents`.
+        The force-dependence chain (∂r/∂λ·dλ) is handled separately by the
+        node; this is the kinematic part only (the reference's per-cost
+        calcDiff split, multibody/costs/*.hxx)."""
+        return None
+
 
 def _cost_fields(weight, active, activation, nr):
     return dict(
@@ -61,6 +70,10 @@ class CostState(Cost):
     def residual(self, st, cache, x, u):
         return st.diff(self.xref, x)
 
+    def residual_jac_x(self, st, cache, x, u, ft_of):
+        _, J2 = st.jdiff(self.xref, x)
+        return J2
+
 
 class CostControl(Cost):
     """r = u − uref (multibody/costs/control.hxx)."""
@@ -70,6 +83,9 @@ class CostControl(Cost):
     def residual(self, st, cache, x, u):
         return u - self.uref
 
+    def residual_jac_x(self, st, cache, x, u, ft_of):
+        return jnp.zeros((self.uref.shape[-1], st.ndx), x.dtype)
+
 
 class CostCoM(Cost):
     """r = com(q) − cref (multibody/costs/com-position.hxx)."""
@@ -78,6 +94,21 @@ class CostCoM(Cost):
 
     def residual(self, st, cache, x, u):
         return cache.kin.com() - self.cref
+
+    def residual_jac_x(self, st, cache, x, u, ft_of):
+        # Jcom columns: dcom/dq_d = (m_sub·Sv + Sw × csub)/M_tot with
+        # subtree mass/moment sums (GEMM form; com-position.hxx Jcom role)
+        kin = cache.kin
+        m = kin.model.mass
+        S = kin.Jcols
+        msub = jnp.einsum("ie,i->e", kin.amask, m)
+        csub = jnp.einsum("ie,i,ic->ec", kin.amask, m, kin.I_w.c)
+        mtot = jnp.sum(m)
+        dcom_q = (msub[:, None] * S[:, :3]
+                  + jnp.cross(S[:, 3:], csub)) / mtot        # (nv, 3)
+        nv = S.shape[0]
+        return jnp.concatenate(
+            [dcom_q.T, jnp.zeros((3, st.ndx - nv), x.dtype)], axis=1)
 
 
 class CostFramePlacement(Cost):
@@ -92,6 +123,13 @@ class CostFramePlacement(Cost):
         rel = Transform(self.ref_R, self.ref_p).inverse().compose(oMf)
         return lie.log6(rel.R, rel.p)
 
+    def residual_jac_x(self, st, cache, x, u, ft_of):
+        oMf = cache.frame_placement(self.fid)
+        rel = Transform(self.ref_R, self.ref_p).inverse().compose(oMf)
+        xi = lie.log6(rel.R, rel.p)
+        ft = ft_of(self.fid)
+        return (ft.dxi @ lie.jac_se3_right_inv(xi).T).T
+
 
 class CostFrameTranslation(Cost):
     """r = p_frame − pref (multibody/costs/frame-translation.hxx)."""
@@ -101,6 +139,9 @@ class CostFrameTranslation(Cost):
 
     def residual(self, st, cache, x, u):
         return cache.frame_placement(self.fid).p - self.pref
+
+    def residual_jac_x(self, st, cache, x, u, ft_of):
+        return ft_of(self.fid).dp.T
 
 
 class CostFrameRotation(Cost):
@@ -113,6 +154,12 @@ class CostFrameRotation(Cost):
         R = cache.frame_placement(self.fid).R
         return lie.log3(lie.mm(jnp.swapaxes(self.ref_R, -1, -2), R))
 
+    def residual_jac_x(self, st, cache, x, u, ft_of):
+        R = cache.frame_placement(self.fid).R
+        w = lie.log3(lie.mm(jnp.swapaxes(self.ref_R, -1, -2), R))
+        ft = ft_of(self.fid)
+        return (ft.dxi[:, 3:] @ lie.jac_so3_right_inv(w).T).T
+
 
 class CostFrameVelocity(Cost):
     """r = v_frame(LOCAL) − vref (multibody/costs/frame-velocity.hxx)."""
@@ -122,6 +169,9 @@ class CostFrameVelocity(Cost):
 
     def residual(self, st, cache, x, u):
         return cache.frame_velocity(self.fid) - self.vref
+
+    def residual_jac_x(self, st, cache, x, u, ft_of):
+        return ft_of(self.fid).dv.T
 
 
 class CostContactForce(Cost):
@@ -136,6 +186,11 @@ class CostContactForce(Cost):
         n = self.fref.shape[-1]
         return f[:n] - self.fref
 
+    def residual_jac_x(self, st, cache, x, u, ft_of):
+        # pure force dependence: the (dr/dlam)·dlam chain is added by the
+        # node; the kinematic part is exactly zero
+        return jnp.zeros((self.fref.shape[-1], st.ndx), x.dtype)
+
 
 class CostContactFrictionCone(Cost):
     """r = A_cone · f_lin with barrier activation
@@ -147,6 +202,9 @@ class CostContactFrictionCone(Cost):
     def residual(self, st, cache, x, u):
         f = cache.contact_force(self.contact_idx)
         return lie.mv(self.cone.A, f[:3])
+
+    def residual_jac_x(self, st, cache, x, u, ft_of):
+        return jnp.zeros((self.cone.A.shape[0], st.ndx), x.dtype)
 
 
 class CostContactCoP(Cost):
@@ -161,6 +219,9 @@ class CostContactCoP(Cost):
         f6 = f if f.shape[-1] == 6 else jnp.concatenate(
             [f, jnp.zeros((3,), f.dtype)])
         return lie.mv(self.support.A, f6)
+
+    def residual_jac_x(self, st, cache, x, u, ft_of):
+        return jnp.zeros((4, st.ndx), x.dtype)
 
 
 class CostCentroidalMomentum(Cost):

@@ -257,22 +257,13 @@ class RigidBodyNode(ActionModel):
         z_du = jnp.zeros((nu,), dtt)
         m = st.model
 
-        # ---- Stage A: closed-form sweep linearization (ndx tangents).
-        # The sweep tangents for ALL basis directions come from the
-        # spatial-algebra identities in algorithms.kin_tangent_basis —
-        # masked contractions of the PRIMAL sweep outputs, no re-run of the
-        # level loop per direction.  The KKT solve, mass matrix and residual
-        # stack are NOT differentiated either: their tangents are recovered
-        # below as contractions of the sweep tangents — the structure of the
-        # reference's analytic derivative chain (computeRNEADerivatives +
-        # KKT-inverse blocks, contact-fwddyn.hxx:126-159).
+        # ---- primal sweep at the linearization point.  The tangent path
+        # is CLOSED FORM throughout (gforce_derivatives for the dynamics,
+        # frame_tangents for contacts and frame costs) — the generic
+        # sweep-linearization basis (kin_tangent_basis) is built only if
+        # some cost lacks a residual_jac_x closed form.
         xi0 = st.integrate(x, z_dx)
         kin0 = algo.KinData(m, xi0[:st.nq], xi0[st.nq:])
-        ka0 = kin0.arrays()
-        dka_all = algo.kin_tangent_basis(kin0)        # leading (ndx,) axis
-        # tangent of the q-space coordinates (costs/actuation may read xi)
-        dxi_all = jnp.transpose(
-            jax.jacfwd(lambda dx: st.integrate(x, dx))(z_dx))   # (ndx, nx)
 
         # ---- primal dynamics at the linearization point ------------------
         tau0 = self.actuation.calc(xi0, u)
@@ -298,32 +289,68 @@ class RigidBodyNode(ActionModel):
             nc = 0
         cache0.a = a
 
-        # ---- x-tangents: contracted KKT differential ----------------------
-        # At fixed (a, λ) the KKT tangent needs only the VECTORS
-        #   r1 = dτ − d(M·a) − db + d(Jcᵀ)·λ,   r2 = −(d(Jc)·a + da0)
-        # — every term a directional derivative of a vector-valued function
-        # of the sweep arrays, so no dM/dJc matrices are ever materialized.
-        def h_x(ka, xi):
-            kin = algo.KinData.from_arrays(m, xi[:st.nq], xi[st.nq:], ka)
-            cache = NodeCache(kin, forces=forces0, tau=None, a=a)
-            tau = self.actuation.calc(xi, u)
-            if has_contacts:
-                Jc_t, a0_t, _ = self.contacts.calc(cache)
-                r1 = tau - kin.mass_matrix_vec(a) - kin.bias_forces() \
-                    + Jc_t.T @ lam
-                r2 = -(Jc_t @ a + a0_t)
-            else:
-                r1 = tau - kin.mass_matrix_vec(a) - kin.bias_forces()
-                r2 = jnp.zeros((0,), dtt)
-            Rv = self.costs.residuals(st, cache, xi, u)
-            return r1, r2, Rv
+        # ---- x-tangents of the dynamics vector r1 = τ − M·a − b + Jcᵀλ:
+        # CLOSED FORM (algorithms.gforce_derivatives, GEMM-shaped — the
+        # reference's computeRNEADerivatives role).  The contact term
+        # enters as fixed world wrenches attached to the contact bodies
+        # (λ held constant, frames moving rigidly with their bodies).
+        if has_contacts:
+            ext_w = jnp.zeros((m.njoints, 6), dtt)
+            for (i0c, _), c in zip(self.contacts.slices(),
+                                   self.contacts.contacts):
+                lam_c = lam[i0c:i0c + c.nc]
+                wrench = (jnp.concatenate([lam_c, jnp.zeros((3,), dtt)])
+                          if c.nc == 3 else lam_c)
+                w_w = cache0.frame_placement(c.fid).act_force(wrench)
+                ext_w = ext_w.at[m.frame_parents[c.fid]].add(w_w)
+        else:
+            ext_w = None
+        dG_dq, dG_dv = algo.gforce_derivatives(kin0, a, ext_w)
+        dtau_dx = jax.jacfwd(
+            lambda dx: self.actuation.calc(st.integrate(x, dx), u))(z_dx)
+        dr1_dx = dtau_dx - jnp.concatenate([dG_dq, dG_dv], axis=1)
 
-        # linearize: h_x's primal runs ONCE (it also yields the residual
-        # primal R); the tangent application is pure-linear and is vmapped
-        # over the ndx stacked closed-form sweep tangents.
-        (_, _, R), h_lin = jax.linearize(h_x, ka0, xi0)
+        # ---- x-tangents of the contact vector r2 = −(Jc·a + a0):
+        # CLOSED FORM per frame (algorithms.frame_tangents +
+        # Contact{3D,6D}.calc_tangent) — the contact stack no longer reads
+        # the sweep-tangent basis, whose Jacobian-column tower was the
+        # dominant tangent cost.
+        if has_contacts:
+            r2x = self.contacts.calc_tangents(kin0, cache0, a)  # (ndx, nc)
+        else:
+            r2x = jnp.zeros((ndx, 0), dtt)
+
+        # ---- residual-stack tangents: closed form per cost
+        # (Cost.residual_jac_x, the reference's per-cost calcDiff split);
+        # any cost without a closed form falls back to the generic
+        # sweep-linearization of the WHOLE stack.
+        fts = {}
+
+        def ft_of(fid):
+            if fid not in fts:
+                fts[fid] = algo.frame_tangents(kin0, a, fid)
+            return fts[fid]
+
+        R = self.costs.residuals(st, cache0, xi0, u)
         nr = R.shape[0]
-        r1x, r2x, Rx_kin = jax.vmap(h_lin)(dka_all, dxi_all)
+        jac_rows = [c.residual_jac_x(st, cache0, xi0, u, ft_of)
+                    for c in self.costs.items]
+        if all(j is not None for j in jac_rows):
+            Rx_kin = (jnp.concatenate(jac_rows, axis=0).T if jac_rows
+                      else jnp.zeros((ndx, 0), dtt))
+        else:
+            ka0 = kin0.arrays()
+            dka_all = algo.kin_tangent_basis(kin0)    # leading (ndx,) axis
+            dxi_all = jnp.transpose(
+                jax.jacfwd(lambda dx: st.integrate(x, dx))(z_dx))
+
+            def h_x(ka, xi):
+                kin = algo.KinData.from_arrays(m, xi[:st.nq], xi[st.nq:], ka)
+                cache = NodeCache(kin, forces=forces0, tau=None, a=a)
+                return self.costs.residuals(st, cache, xi, u)
+
+            _, h_lin = jax.linearize(h_x, ka0, xi0)
+            Rx_kin = jax.vmap(h_lin)(dka_all, dxi_all)
 
         # ---- u-tangents: no kinematic dependence --------------------------
         def h_u(du):
@@ -336,7 +363,7 @@ class RigidBodyNode(ActionModel):
         dtau_du, Ru_kin = jax.jacfwd(h_u)(z_du)   # (nv, nu), (nr, nu)
 
         # ---- back-substitute all ndx+nu tangent directions at once --------
-        r1_all = jnp.concatenate([r1x.T, dtau_du], axis=1)   # (nv, ndx+nu)
+        r1_all = jnp.concatenate([dr1_dx, dtau_du], axis=1)  # (nv, ndx+nu)
         if has_contacts:
             r2_all = jnp.concatenate(
                 [r2x.T, jnp.zeros((nc, nu), dtt)], axis=1)

@@ -87,3 +87,45 @@ def test_contact3d_baumgarte_gains_enter_a0():
     p = kin.frame_placement(m.frame_id("LF_FOOT")).p
     np.testing.assert_allclose(np.asarray(a0_1 - a0_0), 50.0 * np.asarray(p),
                                rtol=1e-10)
+
+
+@pytest.mark.parametrize("make", [
+    lambda m: Contact3D(fid=m.frame_id("LF_FOOT"),
+                        pref=jnp.asarray([0.3, 0.2, 0.0]),
+                        gains=jnp.asarray([10.0, 4.0]),
+                        active=jnp.ones(())),
+    lambda m: Contact6D(fid=m.frame_id("RH_FOOT"),
+                        ref_R=jnp.asarray(np.linalg.qr(
+                            np.random.RandomState(0).randn(3, 3))[0]
+                            * np.sign(np.linalg.det(np.linalg.qr(
+                                np.random.RandomState(0).randn(3, 3))[0]))),
+                        ref_p=jnp.asarray([-0.3, -0.2, 0.0]),
+                        gains=jnp.asarray([8.0, 2.0]),
+                        active=jnp.ones(())),
+], ids=["contact3d", "contact6d"])
+def test_closed_form_contact_tangent_vs_linearize(make):
+    """ContactSet.calc_tangents (closed form via algorithms.frame_tangents)
+    vs jax.linearize of r2 = −(Jc·a + a0) through the sweep."""
+    m, st, x, a = _setup()
+    contact = make(m)
+    nq = st.nq
+
+    kin0 = algo.KinData(m, x[:nq], x[nq:])
+    ka0 = kin0.arrays()
+    dka = algo.kin_tangent_basis(kin0)
+    z = jnp.zeros((st.ndx,), x.dtype)
+    dxi = jnp.transpose(jax.jacfwd(lambda dx: st.integrate(x, dx))(z))
+
+    def h(ka, xi):
+        kin = algo.KinData.from_arrays(m, xi[:nq], xi[nq:], ka)
+        J, a0 = contact.calc(NodeCache(kin))
+        return -(J @ a + a0)
+
+    _, lin = jax.linearize(h, ka0, x)
+    dr2_ad = jax.vmap(lin)(dka, dxi)            # (ndx, nc)
+
+    cache = NodeCache(kin0)
+    ft = algo.frame_tangents(kin0, a, contact.fid)
+    dr2_cf = contact.calc_tangent(cache, ft)    # (ndx, nc)
+    np.testing.assert_allclose(np.asarray(dr2_cf), np.asarray(dr2_ad),
+                               atol=1e-9 * (1 + np.abs(dr2_ad).max()))
