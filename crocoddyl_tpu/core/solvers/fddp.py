@@ -63,6 +63,15 @@ class SolverSettings(struct.PyTreeNode):
     th_stepdec: float = struct.field(pytree_node=False, default=0.5)
     th_stepinc: float = struct.field(pytree_node=False, default=0.01)
     th_acceptnegstep: float = struct.field(pytree_node=False, default=2.0)
+    # relative trial-cost blowup guard: a trial whose cost exceeds
+    # th_blowup·(1+|cost|) is rejected like a NaN rollout.  The reference
+    # only rejects at the absolute raiseIfNaN bound (1e30,
+    # solver-base.cpp:175-178), which lets the negative-step rule
+    # (fddp.cpp:72-80) accept astronomically-worse trials on chaotic
+    # problems (e.g. cartpole swing-up rollouts at alpha=1); a relative
+    # bound keeps the backtracking behavior without changing any
+    # well-behaved solve (normal accepted steps never increase cost 1e6x).
+    th_blowup: float = struct.field(pytree_node=False, default=1e6)
     regfactor: float = struct.field(pytree_node=False, default=10.0)
     regmin: float = struct.field(pytree_node=False, default=1e-9)
     regmax: float = struct.field(pytree_node=False, default=1e9)
@@ -615,6 +624,8 @@ def solve(problem: ShootingProblem,
                     problem, st_.xs, st_.us, st_.k, st_.K, fs_fwd, alpha,
                     *bounds, unroll=s.scan_unroll)
             dV = st_.cost - cost_try
+            failed = failed | (cost_try >
+                               s.th_blowup * (1.0 + jnp.abs(st_.cost)))
             if s.feasibility_driven:
                 # fddp.cpp:107-124 expectedImprovement at the trial point
                 dx = jax.vmap(st.diff)(xs_try, st_.xs)

@@ -232,6 +232,61 @@ class CostCentroidalMomentum(Cost):
     def residual(self, st, cache, x, u):
         return cache.kin.centroidal_momentum() - self.href
 
+    def residual_jac_x(self, st, cache, x, u, ft_of):
+        # dh in GEMM form: dh_w/dq_d = Σ_i[d⪯i](CF(I_i v_i)S_d − I_i cw_d),
+        # dh_w/dv_d = (Σ_i[d⪯i] I_i)S_d; then the centroidal correction
+        # ang −= com × lin chains through Jcom (same identities as
+        # gforce_derivatives; pinned in tests/test_costs_numdiff.py).
+        from ...dynamics import algorithms as algo
+        from ...dynamics.spatial import cross_motion
+        kin = cache.kin
+        model = kin.model
+        S = kin.Jcols
+        nv = S.shape[0]
+        amask = kin.amask
+        Iw = kin.I_w.to_matrix()
+        vw = kin.vel_w
+        h2 = kin.I_w.mul_motion(vw)
+        parents = jnp.asarray(
+            [0 if p == -1 else p for p in model.parents])
+        not_root = jnp.asarray(
+            [0.0 if p == -1 else 1.0 for p in model.parents], x.dtype)
+        import numpy as _np
+        dofj = jnp.asarray(_np.asarray(
+            algo._meta(model)[4]))
+        wv = (vw[parents] * not_root[:, None])[dofj]
+        cw = cross_motion(S, wv)
+        # masked body sums per dof
+        CFh2 = algo._CF(h2)
+        A1 = jnp.einsum("id,iab->dab", amask, CFh2)      # (nv, 6, 6)
+        AI = jnp.einsum("id,iab->dab", amask, Iw)
+        dh_q = (jnp.einsum("dab,db->da", A1, S)
+                - jnp.einsum("dab,db->da", AI, cw))      # (nv, 6)
+        dh_v = jnp.einsum("dab,db->da", AI, S)
+        # centroidal correction: ang' = ang − com × lin
+        hw = kin.oMi.act_force(
+            algo.Inertia(m=model.mass, c=model.com,
+                         I_c=model.inertia).mul_motion(kin.vels))
+        hsum = jnp.sum(hw, axis=0)
+        lin = hsum[:3]
+        com = kin.com()
+        m_ = model.mass
+        msub = jnp.einsum("ie,i->e", amask, m_)
+        csub = jnp.einsum("ie,i,ic->ec", amask, m_, kin.I_w.c)
+        mtot = jnp.sum(m_)
+        dcom_q = (msub[:, None] * S[:, :3]
+                  + jnp.cross(S[:, 3:], csub)) / mtot     # (nv, 3)
+
+        def correct(dh, dcom):
+            dlin = dh[:, :3]
+            dang = (dh[:, 3:] - jnp.cross(dcom, lin[None])
+                    - jnp.cross(com[None], dlin))
+            return jnp.concatenate([dlin, dang], axis=1)
+
+        Rq = correct(dh_q, dcom_q)
+        Rv = correct(dh_v, jnp.zeros((nv, 3), x.dtype))
+        return jnp.concatenate([Rq, Rv], axis=0).T        # (6, ndx)
+
 
 class CostImpulseCoM(Cost):
     """r = Jcom·(v⁺−v⁻) — CoM velocity change at impact

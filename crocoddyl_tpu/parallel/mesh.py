@@ -91,3 +91,45 @@ def fleet_metrics(solution) -> dict:
         "converged_frac": jnp.mean(solution.converged.astype(jnp.float32)),
         "diverged_frac": jnp.mean(solution.diverged.astype(jnp.float32)),
     }
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     local_device_ids=None) -> int:
+    """Initialize the multi-host runtime (jax.distributed) and return this
+    process's index.
+
+    On TPU pods the arguments are auto-detected from the environment; on
+    CPU/GPU clusters pass the coordinator ``host:port``, world size, and
+    rank (or set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID).  After this, ``jax.devices()`` spans every host and
+    ``data_mesh()`` builds a global mesh — ``sharded_solve_x0`` then runs
+    the same SPMD program on each host with its local shard
+    (BASELINE.md §3 multi-host scaling point; smoke test:
+    tests/test_mesh.py::test_multiprocess_cpu_mesh)."""
+    import os
+    kw = {}
+    if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kw["coordinator_address"] = (coordinator_address or
+                                     os.environ["JAX_COORDINATOR_ADDRESS"])
+    if num_processes is not None or os.environ.get("JAX_NUM_PROCESSES"):
+        kw["num_processes"] = (num_processes if num_processes is not None
+                               else int(os.environ["JAX_NUM_PROCESSES"]))
+    if process_id is not None or os.environ.get("JAX_PROCESS_ID"):
+        kw["process_id"] = (process_id if process_id is not None
+                            else int(os.environ["JAX_PROCESS_ID"]))
+    if local_device_ids is not None:
+        kw["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kw)
+    return jax.process_index()
+
+
+def host_local_batch(global_batch: int, axis_size: Optional[int] = None):
+    """Split a global batch size into this host's local slice
+    (start, length) — feed ``sharded_solve_x0`` per-host shards with
+    jax.make_array_from_process_local_data in multi-host runs."""
+    n = jax.process_count() if axis_size is None else axis_size
+    i = jax.process_index()
+    per = global_batch // n
+    return i * per, per

@@ -71,7 +71,7 @@ def make_problem(T=50, dt=5e-2):
 
 def main():
     problem = make_problem()
-    sol = ct.solve(problem, settings=ct.SolverSettings(maxiter=300))
+    sol = ct.solve(problem, settings=ct.SolverSettings(maxiter=1000))
     ct.print_trace(sol, "cartpole_swingup")
     print("final state:", np.asarray(sol.xs[-1]))
     return sol

@@ -7,6 +7,7 @@ equivalent asserted here is: sharded batched solve ≡ unsharded batched solve
 reductions under sharding, and linear-ish device scaling of the batch axis.
 """
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -106,3 +107,46 @@ def test_batched_solve_fn_wrapper(prob, x0s):
     costs = run(probs)
     assert costs.shape == (16,)
     assert np.all(np.isfinite(np.asarray(costs)))
+
+
+def test_multiprocess_cpu_mesh():
+    """Multi-host execution path smoke test: 2 OS processes, each with 2
+    virtual CPU devices, form one 4-device global mesh via
+    jax.distributed (parallel/mesh.py init_distributed) and solve a
+    sharded batch; both ranks must agree on the collective mean cost
+    (BASELINE.md §3 >=2-hosts scaling point, run as processes)."""
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_mesh_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if "xla_force_host_platform" not in v.lower()
+           or k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(rank), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=dict(env, JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache"))
+        for rank in (0, 1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-2000:]}"
+    results = {}
+    for out in outs:
+        m = re.search(r"RESULT rank=(\d) mean_cost=([\d.eE+-]+) "
+                      r"converged=(\d+)", out)
+        assert m, out[-2000:]
+        results[int(m.group(1))] = (float(m.group(2)), int(m.group(3)))
+    assert set(results) == {0, 1}
+    # both ranks see the same global reduction; all 8 solves converged
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-12)
+    assert results[0][1] == 8
