@@ -155,7 +155,9 @@ def main():
     from crocoddyl_tpu.core.solvers.fddp import SolverSettings, solve
 
     which = os.environ.get("BENCH_PROBLEM", "quadruped")
-    B = int(os.environ.get("BENCH_B", "128"))
+    # B=512 is the measured single-chip throughput sweet spot on v5e
+    # (522/584/626/537 solves/s at B=128/256/512/1024, PERF_NOTES r4)
+    B = int(os.environ.get("BENCH_B", "512"))
     maxiter = int(os.environ.get("BENCH_MAXITER", "1"))
     n_rep = int(os.environ.get("BENCH_REPS", "3"))
     detail = os.environ.get("BENCH_DETAIL", "0") == "1"
