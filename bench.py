@@ -322,9 +322,18 @@ def main():
 
         print(json.dumps(aux), file=sys.stderr)
         try:
-            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "BENCH_DETAIL.json"), "w") as f:
-                json.dump(aux, f, indent=1)
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_DETAIL.json")
+            merged = {}
+            if os.path.exists(path):  # merge: partial lanes accumulate
+                try:
+                    with open(path) as f:
+                        merged = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    merged = {}
+            merged.update(aux)
+            with open(path, "w") as f:
+                json.dump(merged, f, indent=1)
         except OSError:
             pass
 

@@ -116,7 +116,11 @@ def f32_vs_f64_deviation(step_knots=4, support_knots=1):
     sols["float64"] = ct.solve(p64, xs_init=xs64, us_init=us64,
                                settings=ct.SolverSettings(maxiter=100,
                                                           th_stop=1e-9))
-    p32, xs32, us32 = build(np.float32, jnp.float32)
+    # f32 leg: cast the f64-built problem (factories produce f64 leaves
+    # under x64; the TPU policy casts the whole pytree)
+    p32 = ct.cast_floats(p64, jnp.float32)
+    xs32 = xs64.astype(jnp.float32)
+    us32 = us64.astype(jnp.float32)
     s32 = ct.solve(p32, xs_init=xs32, us_init=us32,
                    settings=ct.SolverSettings(maxiter=100, th_stop=5e-5))
     sols["float32_raw"] = s32
@@ -132,9 +136,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--maxiter", type=int, default=40)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the default backend (f32) instead of "
+                         "the CPU f64 oracle configuration")
     args = ap.parse_args()
 
     import jax
+    if not args.tpu:
+        # the reference comparison is an f64 CPU configuration (the axon
+        # TPU plugin ignores JAX_PLATFORMS=cpu; set via config)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     from crocoddyl_tpu.utils.callbacks import format_trace
 
     ref = parse_reference_walking()
@@ -194,8 +206,10 @@ def main():
         out.append("## (b) float32 (TPU policy) vs float64 control "
                    "deviation")
         out.append("")
-        out.append(f"Same ANYmal walking problem solved to th_stop=1e-6 in "
-                   f"both precisions: max|u32 − u64| = **{du:.3e}** "
+        out.append(f"Same ANYmal walking problem: f64 oracle to "
+                   f"th_stop=1e-9 vs the f32 TPU policy (f32 iterations "
+                   f"to th_stop=5e-5 + 2-iteration f64 polish, ct.polish): "
+                   f"max|u32 − u64| = **{du:.3e}** "
                    f"(max|u| = {umax:.3e}, relative **{rel:.3e}**).")
         out.append("")
         out.append("This is the achievable proxy for the north star's "
