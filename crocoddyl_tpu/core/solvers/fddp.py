@@ -738,7 +738,47 @@ def solve(problem: ShootingProblem,
     def cond(st_):
         return (st_.iter < s.maxiter) & ~st_.converged & ~st_.diverged
 
-    final = jax.lax.while_loop(cond, iteration, state0)
+    if s.maxiter == 1:
+        # the MPC-replan configuration: the loop guard is always true at
+        # entry (iter=0, not converged/diverged), so the while_loop would
+        # run its body exactly once — calling it directly removes the
+        # loop's carry double-buffering (the carry holds the full derivs/
+        # V/K state, ~GBs at benchmark batch sizes: measured 626 -> 1438
+        # solves/s at B=512).
+        final = iteration(state0)
+    else:
+        # Multi-iteration solves get the same treatment by shrinking the
+        # while CARRY to the candidate + scalars (+ the small k/K, the
+        # BoxQP warm start and feedback): derivs/gaps/value surfaces are
+        # recomputed every iteration anyway, so carrying them only paid
+        # the loop's double-buffer copies.  The Solution's direction
+        # fields are recomputed once at the final candidate after the
+        # loop (they then correspond to the RETURNED trajectory — the
+        # reference exposes the direction of the last pre-step candidate
+        # instead, solver-base getters).
+        SMALL = ("xs", "us", "feasible", "was_feasible", "xreg", "ureg",
+                 "cost", "k", "K", "d0", "d1", "stop", "steplength",
+                 "iter", "converged", "diverged", "trace")
+
+        def deflate(st_):
+            return {f: getattr(st_, f) for f in SMALL}
+
+        def inflate(c):
+            # big fields come from the loop-invariant zero placeholders in
+            # state0 (hoisted constants, not part of the carry); every
+            # consumer overwrites them before reading
+            return state0.replace(**c)
+
+        def cond_small(c):
+            return ((c["iter"] < s.maxiter) & ~c["converged"]
+                    & ~c["diverged"])
+
+        def iteration_small(c):
+            return deflate(iteration(inflate(c)))
+
+        final_c = jax.lax.while_loop(cond_small, iteration_small,
+                                     deflate(state0))
+        final = compute_direction(inflate(final_c))
 
     return Solution(
         xs=final.xs, us=final.us, K=final.K, k=final.k,
