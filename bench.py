@@ -155,9 +155,10 @@ def main():
     from crocoddyl_tpu.core.solvers.fddp import SolverSettings, solve
 
     which = os.environ.get("BENCH_PROBLEM", "quadruped")
-    # B=512 is the measured single-chip throughput sweet spot on v5e
-    # (522/584/626/537 solves/s at B=128/256/512/1024, PERF_NOTES r4)
-    B = int(os.environ.get("BENCH_B", "512"))
+    # B=256 default: 1304 solves/s with a ~3.5-min cold compile; B=512
+    # peaks at 1437 but costs ~11 min cold (driver-budget risk) —
+    # PERF_NOTES r4 batch sweep
+    B = int(os.environ.get("BENCH_B", "256"))
     maxiter = int(os.environ.get("BENCH_MAXITER", "1"))
     n_rep = int(os.environ.get("BENCH_REPS", "3"))
     detail = os.environ.get("BENCH_DETAIL", "0") == "1"
