@@ -22,3 +22,15 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the gait suites first: their first-ever compile writes multi-MB
+    executables to the persistent cache, and XLA's executable.serialize()
+    has been observed to segfault when that first write happens late in a
+    long test process (deterministic at the same item; fine in a fresh
+    process).  Fronting them makes the cold-cache write happen with a
+    fresh heap; warm-cache runs are unaffected."""
+    front = [it for it in items if "test_gaits" in it.nodeid]
+    rest = [it for it in items if "test_gaits" not in it.nodeid]
+    items[:] = front + rest
