@@ -34,15 +34,16 @@ def calc_cops(problem, sol) -> List[dict]:
     off = 0
     for seg in problem.segments:
         T_seg = jax.tree.leaves(seg)[0].shape[0]
+        # all knots of a segment share one structure: a contact-free segment
+        # is skipped wholesale (the base offset `off` advances once per
+        # segment, below — never inside the knot loop)
+        if (getattr(seg, "contacts", None) is None
+                or not getattr(seg.contacts, "contacts", ())):
+            off += T_seg
+            continue
         for t in range(T_seg):
             m = jax.tree.map(lambda l: l[t], seg)
-            if getattr(m, "contacts", None) is None:
-                off += 1
-                continue
-            contacts = getattr(m.contacts, "contacts", ())
-            if not contacts:
-                off += 1
-                continue
+            contacts = m.contacts.contacts
             x, u = sol.xs[off + t], sol.us[off + t]
             _, cache = m._dynamics(x, u)
             for ci, c in enumerate(contacts):

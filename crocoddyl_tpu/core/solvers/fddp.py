@@ -779,6 +779,15 @@ def solve(problem: ShootingProblem,
         final_c = jax.lax.while_loop(cond_small, iteration_small,
                                      deflate(state0))
         final = compute_direction(inflate(final_c))
+        # The recompute exists ONLY to expose the direction fields
+        # (Vx/Vxx/Qu/k/K/fs) at the returned trajectory; its reg-escalation
+        # ladder must not overwrite the loop's reported xreg/ureg or flip
+        # diverged on a solve that converged inside the loop.
+        final = final.replace(xreg=final_c["xreg"], ureg=final_c["ureg"],
+                              diverged=final_c["diverged"])
+        # NOTE on the maxiter==1 fast path above: there the direction fields
+        # correspond to the PRE-step candidate (reference getter semantics);
+        # here they correspond to the returned trajectory.
 
     return Solution(
         xs=final.xs, us=final.us, K=final.K, k=final.k,

@@ -131,5 +131,9 @@ def host_local_batch(global_batch: int, axis_size: Optional[int] = None):
     jax.make_array_from_process_local_data in multi-host runs."""
     n = jax.process_count() if axis_size is None else axis_size
     i = jax.process_index()
-    per = global_batch // n
-    return i * per, per
+    per, rem = divmod(global_batch, n)
+    # distribute the remainder over the first `rem` hosts so every problem
+    # is assigned exactly once (a silent drop here would lose the last
+    # global_batch % n problems)
+    start = i * per + min(i, rem)
+    return start, per + (1 if i < rem else 0)

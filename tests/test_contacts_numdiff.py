@@ -2,10 +2,12 @@
 unittest/test_contacts.cpp:141 test_partial_derivatives_against_numdiff).
 
 The production node-derivative path gets contact tangents from the
-closed-form sweep linearization (algorithms.kin_tangent_basis contracted
-through contacts.calc inside jax.linearize — nodes.py:_tangent_outputs);
-this suite pins that analytic path per contact model against
-utils.numdiff.numdiff_contact finite differences."""
+CLOSED-FORM per-frame path (algorithms.frame_tangents contracted through
+Contact{3D,6D}.calc_tangent — nodes.py:_tangent_outputs); the generic
+sweep-linearization basis (kin_tangent_basis) is only the fallback for
+costs without a residual_jac_x closed form.  This suite pins the analytic
+path per contact model against utils.numdiff.numdiff_contact finite
+differences."""
 
 import jax
 import jax.numpy as jnp
