@@ -57,7 +57,9 @@ def quadruped_problem(dtype=jnp.float32):
     # hand-authored stand-in model.
     if os.environ.get("BENCH_ROBOT", "anymal") == "anymal":
         m = robots.anymal(dtype=np_dtype)
-        q0 = robots.quadruped_standing_q(m, height=0.48, dtype=np_dtype)
+        # reference-instance stance: vendored example-robot-data 'standing'
+        # (the q0 of the reference golden logs — see PARITY.md)
+        q0 = robots.anymal_standing_q(m, dtype=np_dtype)
     else:
         m = robots.quadruped(dtype=np_dtype)
         q0 = robots.quadruped_standing_q(m, dtype=np_dtype)

@@ -70,7 +70,7 @@ def run_anymal_walking(maxiter=40, step_knots=25, support_knots=2):
     dtype = jnp.float64 if f64 else jnp.float32
     np_dtype = np.float64 if f64 else np.float32
     m = robots.anymal(dtype=np_dtype)
-    q0 = robots.quadruped_standing_q(m, height=0.48, dtype=np_dtype)
+    q0 = robots.anymal_standing_q(m, dtype=np_dtype)
     x0 = jnp.concatenate([q0, jnp.zeros(m.nv, dtype)])
     fac = QuadrupedGaitFactory(
         m, ["LF_FOOT", "RF_FOOT", "LH_FOOT", "RH_FOOT"],
@@ -99,7 +99,7 @@ def f32_vs_f64_deviation(step_knots=4, support_knots=1):
 
     def build(np_dtype, dtype):
         m = robots.anymal(dtype=np_dtype)
-        q0 = robots.quadruped_standing_q(m, height=0.48, dtype=np_dtype)
+        q0 = robots.anymal_standing_q(m, dtype=np_dtype)
         x0 = jnp.concatenate([q0, jnp.zeros(m.nv, dtype)])
         fac = QuadrupedGaitFactory(
             m, ["LF_FOOT", "RF_FOOT", "LH_FOOT", "RH_FOOT"],
@@ -174,14 +174,19 @@ def main():
                "reg decays to the 1e-9 floor, steps mostly full.")
     out.append("")
     out.append(f"This repo (vendored anymal_b.urdf, reference weights, "
-               f"own stance q0): **{iters} iterations**, converged="
+               f"VENDORED example-robot-data standing stance q0): "
+               f"**{iters} iterations**, converged="
                f"{bool(sol.converged)}, final cost **{cost:.6g}**.")
     out.append("")
-    out.append("Initial stance differs from example-robot-data's "
-               "(not vendored by the reference), so absolute costs are not "
-               "identical; the parity claim is behavioral: comparable "
-               "iteration count, monotone cost decrease, regularization "
-               "at floor, full steps at convergence.")
+    out.append("The stance q0 now matches the reference instance exactly "
+               "(robots.anymal_standing_q vendors example-robot-data's "
+               "'standing'); the residual final-cost gap vs 622.777 is "
+               "model fidelity — assets/anymal_b.urdf is hand-authored to "
+               "published ANYmal B dimensions/masses, not the (unavailable "
+               "here) anymal_b_simple_description inertias.  Gate: final "
+               "cost within [0.25x, 2x] of the reference 622.777 and "
+               "comparable iteration count "
+               "(tests/test_parity.py::test_anymal_reference_cost).")
     out.append("")
     out.append("### This repo's trace")
     out.append("```")

