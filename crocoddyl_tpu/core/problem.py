@@ -84,18 +84,24 @@ class ShootingProblem(struct.PyTreeNode):
             groups[key].append(si)
         return [groups[k] for k in order]
 
-    def _grouped_apply(self, fn, xs, us):
+    def _grouped_apply(self, fn, xs, us, block_fn=None):
         """Apply ``fn(model, x, u)`` vmapped over every knot, tracing the node
         graph once per unique segment structure; returns the per-segment
-        output list in time order."""
+        output list in time order.
+
+        ``block_fn(stacked_model, xs, us)``, when given, replaces the plain
+        ``vmap(fn)`` evaluation of a whole stacked block (used to route
+        calc_both through the fused Pallas node kernel)."""
         segs = self.segments
         slices = self._seg_slices()
         outs = [None] * len(segs)
+        apply = (block_fn if block_fn is not None
+                 else (lambda m, x, u: jax.vmap(fn)(m, x, u)))
         for idxs in self._seg_groups():
             if len(idxs) == 1:
                 si = idxs[0]
                 i, j = slices[si]
-                outs[si] = jax.vmap(fn)(segs[si], xs[i:j], us[i:j])
+                outs[si] = apply(segs[si], xs[i:j], us[i:j])
                 continue
             cat = jax.tree.map(
                 lambda *ls: jnp.concatenate(ls, axis=0),
@@ -104,7 +110,7 @@ class ShootingProblem(struct.PyTreeNode):
                                       for si in idxs], axis=0)
             us_cat = jnp.concatenate([us[slices[si][0]:slices[si][1]]
                                       for si in idxs], axis=0)
-            out_cat = jax.vmap(fn)(cat, xs_cat, us_cat)
+            out_cat = apply(cat, xs_cat, us_cat)
             off = 0
             for si in idxs:
                 n = self.seg_lengths[si]
@@ -137,8 +143,21 @@ class ShootingProblem(struct.PyTreeNode):
     def calc_diff_full(self, xs: jax.Array, us: jax.Array):
         """One fused pass: (derivs, dterm, xnexts, costs) — what the solver's
         calcDiff step actually needs (derivatives + gaps + cost,
-        ddp.cpp:157-178) without evaluating the dynamics twice."""
-        outs = self._grouped_apply(lambda m, x, u: m.calc_both(x, u), xs, us)
+        ddp.cpp:157-178) without evaluating the dynamics twice.
+
+        On the TPU backend (or with CT_FUSED set), supported node structures
+        route through the fused Pallas node-linearization kernel
+        (ops/fused_node.py) — one kernel per 128-node block instead of the
+        ~4.5k-op vmapped graph; unsupported structures fall back to the
+        generic vmapped node path per segment group."""
+        from ..ops import fused_node
+
+        def block(m, x, u):
+            if fused_node.enabled_for(m):
+                return fused_node.calc_both_stacked(m, x, u)
+            return jax.vmap(lambda mm, xx, uu: mm.calc_both(xx, uu))(m, x, u)
+
+        outs = self._grouped_apply(None, xs, us, block_fn=block)
         derivs = _concat_tree([o[0] for o in outs])
         xnexts = jnp.concatenate([o[1] for o in outs], axis=0)
         costs = jnp.concatenate([o[2] for o in outs], axis=0)
