@@ -98,14 +98,26 @@ def _scaling_points():
     """solves/s at 1/2/4/8 mesh devices (subprocess per point: the device
     count is fixed at backend init).  Unicycle problem keeps the CPU lane
     fast; the sharded program is the same `sharded_solve_x0` path a real
-    multi-chip mesh runs."""
+    multi-chip mesh runs.
+
+    WEAK scaling: the per-device batch is held constant
+    (BENCH_SCALING_B_PER_DEV, default 512) so devices never starve.  On this
+    host the virtual devices SHARE the physical cores, so points beyond
+    os.cpu_count() measure scheduler oversubscription, not the program —
+    the round-4 "regression" 928->787 from 2->8 devices was exactly this
+    (2-core host; root-caused round 5: fixed-total 597/541/540/445 vs
+    weak 551/943/794/447 — per-device starvation ruled out, contention
+    confirmed).  The emitted dict carries host_cores so readers can judge
+    which points are physically meaningful."""
     import subprocess
-    out = {}
+    out = {"mode": "weak_512_per_device", "host_cores": os.cpu_count()}
+    per_dev = int(os.environ.get("BENCH_SCALING_B_PER_DEV", "512"))
     for n in (1, 2, 4, 8):
         xla = (os.environ.get("XLA_FLAGS", "")
                + f" --xla_force_host_platform_device_count={n}").strip()
         env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS=xla,
-                   BENCH_SCALING_WORKER=str(n))
+                   BENCH_SCALING_WORKER=str(n),
+                   BENCH_SCALING_B=str(per_dev * n))
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                env=env, capture_output=True, text=True,
@@ -207,6 +219,11 @@ def main():
     costs.block_until_ready()  # compile + warmup
     assert not bool(jnp.isnan(costs).any()), "NaN cost in benchmark solve"
 
+    # block_until_ready per rep: the call has ONE device-resident operand,
+    # so per-call dispatch is ~0.06 ms on this tunnel (measured; the
+    # methodology of every previous round, kept for comparability).  A
+    # full np.asarray fetch costs a flat ~25 ms here and would bias the
+    # step time (round-5 tunnel calibration, PERF_NOTES).
     t0 = time.perf_counter()
     for _ in range(n_rep):
         run(x0s).block_until_ready()
@@ -236,46 +253,44 @@ def main():
         except Exception as e:  # pragma: no cover
             aux["cost_analysis_error"] = str(e)
 
-        # ---- small-batch MPC replan latency (p50) -------------------------
-        # measured in three configurations: sequential; horizon-parallel
-        # (associative-scan) Riccati; and MS+PR = multiple-shooting chunked
-        # rollout + parallel Riccati — the two sequential-depth levers at
-        # B=1 (PERF_NOTES; parallel_riccati.py, fddp ms_chunk)
-        def latency_p50(pr, ms=0):
+        # ---- small-batch MPC replan latency -------------------------------
+        # DEVICE time via an in-jit amortized loop (K solves chained by a
+        # data dependency, one host sync): on this tunneled runtime a
+        # Python-level call with many operands costs 25-40 ms of dispatch,
+        # which would swamp the kernel-level latency being measured
+        # (round-5 calibration).  Lanes: sequential baseline; fused_scans
+        # (whole-scan Pallas kernels, ops/fused_scans.py); and the r4
+        # levers PR (parallel Riccati) / MS+PR for comparison.
+        def latency_amortized(tag, **st_kw):
             st_lat = SolverSettings(
                 maxiter=maxiter, record_trace=False,
-                parallel_linesearch=False, parallel_riccati=pr,
-                ms_chunk=ms)
+                parallel_linesearch=False, **st_kw)
+            K_REP = 10
 
-            def run_lat(x0s):
-                def one(x0_i):
+            def loop(eps):
+                def body(i, carry):
+                    e, acc = carry
+                    x0_i = prob.x0.at[-1].add(e * 1e-6)
                     s = solve(prob.replace(x0=x0_i), xs_init=xs0,
                               us_init=us0, settings=st_lat)
-                    return s.cost
-                return jax.vmap(one)(x0s)
+                    return (s.cost * 1e-30 + eps, acc + s.cost)
+                return jax.lax.fori_loop(
+                    0, K_REP, body, (eps, jnp.zeros((), dtype)))[1]
 
-            x0s_1 = _perturbed_x0s(prob, x0, 1, dtype, which)
-            run1 = jax.jit(run_lat)
-            run1(x0s_1).block_until_ready()
-            lats = []
-            for _ in range(10):
-                t0 = time.perf_counter()
-                run1(x0s_1).block_until_ready()
-                lats.append((time.perf_counter() - t0) * 1e3)
-            return round(float(np.median(lats)), 3)
+            f = jax.jit(loop)
+            float(f(jnp.asarray(0.0, dtype)))   # compile + warm
+            t0 = time.perf_counter()
+            float(f(jnp.asarray(1e-30, dtype)))
+            wall_ms = (time.perf_counter() - t0) * 1e3
+            return round((wall_ms - 24.6) / K_REP, 2)  # subtract fetch RTT
 
-        aux["replan_latency_b1_p50_ms"] = latency_p50(
-            settings.parallel_riccati)
-        if not settings.parallel_riccati:
+        for tag, kw_l in (("", {}), ("fscan_", {"fused_scans": True}),
+                          ("pr_", {"parallel_riccati": True})):
             try:
-                aux["replan_latency_b1_pr_p50_ms"] = latency_p50(True)
+                aux[f"replan_latency_b1_{tag}device_ms"] = \
+                    latency_amortized(tag, **kw_l)
             except Exception as e:  # pragma: no cover
-                aux["latency_pr_error"] = str(e)[:300]
-            try:
-                aux["replan_latency_b1_mspr_p50_ms"] = latency_p50(
-                    True, ms=int(os.environ.get("BENCH_MS_CHUNK", "12")))
-            except Exception as e:  # pragma: no cover
-                aux["latency_mspr_error"] = str(e)[:300]
+                aux[f"latency_{tag}error"] = str(e)[:300]
 
         # ---- per-stage split (calc_diff / backward / forward) -------------
         def stage_times():
@@ -295,15 +310,27 @@ def main():
             fw = jax.jit(jax.vmap(lambda xs, us, k, K, f: fddp._forward_pass(
                 prob, xs, us, k, K, f, jnp.asarray(1.0, dtype))[2]))
             out = {}
+            # device time via amortized in-jit loops (see latency note);
+            # the carry perturbs the first argument so the loop body is NOT
+            # loop-invariant (XLA would hoist a pure repeated call)
+            def amort(fn, *args):
+                def loop(eps):
+                    def body(i, e):
+                        a0 = jax.tree.map(lambda l: l + e * 1e-30, args[0])
+                        return fn(a0, *args[1:]).sum() * 1e-30 + e
+                    return jax.lax.fori_loop(0, 5, body, eps)
+                g = jax.jit(loop)
+                float(g(jnp.asarray(0.0, dtype)))
+                t0 = time.perf_counter()
+                float(g(jnp.asarray(1e-30, dtype)))
+                return round(((time.perf_counter() - t0) * 1e3 - 24.6) / 5,
+                             2)
+
             for name, fn, args in (
                     ("calc_diff_ms", cd, (xs_b, us_b)),
                     ("backward_ms", bw, (d1, dt1, f1)),
                     ("forward_ms", fw, (xs_b, us_b, k0, K0, f1))):
-                fn(*args).block_until_ready()
-                t0 = time.perf_counter()
-                for _ in range(3):
-                    fn(*args).block_until_ready()
-                out[name] = round((time.perf_counter() - t0) / 3 * 1e3, 2)
+                out[name] = amort(lambda *a, _f=fn: _f(*a), *args)
             return out
 
         if os.environ.get("BENCH_STAGES", "1") != "0":
@@ -340,12 +367,26 @@ def main():
         except OSError:
             pass
 
-    print(json.dumps({
+    line = {
         "metric": f"batched_fddp_{which}_T{T}_maxiter{maxiter}_solves_per_s",
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 1000.0, 4),
-    }))
+    }
+    # surface the most recent scaling-lane points (BENCH_DETAIL.json) in the
+    # driver-visible line; "cached" = measured by the last BENCH_SCALING=1
+    # run, not re-measured here (the 4-subprocess lane would blow the
+    # driver's bench budget)
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_DETAIL.json")
+        with open(path) as fjson:
+            sc = json.load(fjson).get("scaling_virtual_cpu")
+        if sc:
+            line["scaling_virtual_cpu_cached"] = sc
+    except (OSError, json.JSONDecodeError):
+        pass
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

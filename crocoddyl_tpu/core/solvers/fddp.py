@@ -98,6 +98,14 @@ class SolverSettings(struct.PyTreeNode):
     # below th_gaptol (a full-step rollout no longer closes gaps exactly).
     ms_chunk: int = struct.field(pytree_node=False, default=0)
     th_gaptol: float = struct.field(pytree_node=False, default=1e-7)
+    # Fuse the two sequential scans (Riccati backward + trial rollout)
+    # into single Pallas kernels (ops/fused_scans.py): the whole T-loop
+    # runs inside one kernel, removing per-step launch/bookkeeping
+    # overhead — the b=1 MPC latency lever.  Applies to non-box,
+    # single-segment problems with fused-node-supported structure;
+    # silently falls back otherwise.  Compiled on TPU, interpreted
+    # elsewhere (tests).
+    fused_scans: bool = struct.field(pytree_node=False, default=False)
     # lax.scan unroll factor for the Riccati backward recursion and the
     # rollout scans.  The per-iteration math at robot sizes (ndx=36) is far
     # below the TPU's launch/loop overhead, so merging k steps per while
@@ -537,6 +545,13 @@ def solve(problem: ShootingProblem,
     regmin = jnp.asarray(s.regmin, dt)
     regmax = jnp.asarray(s.regmax, dt)
 
+    use_fscan = False
+    if s.fused_scans:
+        from ...ops import fused_node as _fnode
+        from ...ops import fused_scans as _fscans
+        use_fscan = _fscans.supports_problem(problem, s)
+        _fs_interp = jax.default_backend() != "tpu"
+
     if s.box:
         if u_lb is None:
             u_lb = getattr(problem.segments[0], "u_lb", None)
@@ -566,6 +581,10 @@ def solve(problem: ShootingProblem,
             if s.parallel_riccati and not s.box:
                 from .parallel_riccati import backward_pass_parallel
                 return backward_pass_parallel(derivs, dterm, fs, xreg, ureg)
+            if use_fscan:
+                from ...ops.fused_scans import riccati_backward_fused
+                return riccati_backward_fused(derivs, dterm, fs, xreg,
+                                              ureg, interpret=_fs_interp)
             return _backward_pass(derivs, dterm, fs, xreg, ureg, box_args,
                                   unroll=s.scan_unroll)
 
@@ -615,7 +634,18 @@ def solve(problem: ShootingProblem,
         bounds = (u_lb, u_ub) if s.box else (None, None)
 
         def trial(alpha):
-            if s.ms_chunk > 0:
+            if use_fscan and s.ms_chunk == 0:
+                from ...ops.fused_scans import trial_rollout_fused
+                seg = problem.segments[0]
+                xs_r, us_r, x_last, cost_try, failed = trial_rollout_fused(
+                    seg, problem.x0.astype(st_.xs.dtype), st_.xs, st_.us,
+                    st_.k, st_.K, fs_fwd, alpha, interpret=_fs_interp)
+                xT_try = st.integrate(x_last, (alpha - 1.0) * fs_fwd[-1])
+                cost_try = cost_try + problem.terminal.calc_terminal(xT_try)
+                failed = failed | _bad(cost_try)
+                xs_try = jnp.concatenate([xs_r, xT_try[None]], axis=0)
+                us_try = us_r
+            elif s.ms_chunk > 0:
                 xs_try, us_try, cost_try, failed = _forward_pass_ms(
                     problem, st_.xs, st_.us, st_.k, st_.K, fs_fwd, alpha,
                     s.ms_chunk, *bounds)

@@ -714,22 +714,68 @@ def _lane_PS(kin, Jm_np, vw, vJ_w):
     return PS, CMv
 
 
-def lane_gforce_derivatives(kin: LKin, a, ext_w=None):
-    """(dG_dq, dG_dv) each (nv, nv, N) — algorithms.gforce_derivatives."""
+class LTanCtx(NamedTuple):
+    """a-dependent spatial-algebra context shared by gforce_derivatives and
+    every frame_tangents call (computed ONCE per node block: the PS prefix
+    sums and the u/cw/cu fields were previously recomputed per frame)."""
+    dt: object
+    nj: int
+    nv: int
+    dofj: tuple
+    parents: tuple
+    amask_np: object
+    S: jnp.ndarray
+    vw: jnp.ndarray
+    vp_w: jnp.ndarray
+    vJ_w: jnp.ndarray
+    wv: jnp.ndarray
+    vjd: jnp.ndarray
+    oX: TL
+    bias_w: jnp.ndarray
+    amask_l: jnp.ndarray
+    u: jnp.ndarray
+    uw: jnp.ndarray
+    PS: jnp.ndarray
+    PS_pd: jnp.ndarray
+    CMv: jnp.ndarray
+    cw: jnp.ndarray
+    cu: jnp.ndarray
+
+
+def lane_tan_ctx(kin: LKin, a) -> LTanCtx:
     (model, meta, dt, nj, nv, dofj, parents, S, vw, vp_w, vJ_w,
      wv, vjd, oX, bias_w, amask_np) = _lane_common(kin)
-    levels, v_off, _, _, _, _, _, _ = meta
-    Am2 = amask_np[np.asarray(dofj)].T                   # (nv, nv) numpy
+    v_off = meta[1]
     Jm_np = amask_np[:, np.asarray([v_off[k] for k in range(nj)])]
+    amask_l = jnp.asarray(amask_np[:, :, None, None], dt)
+    ua = S * a[:, None, :]
+    u = (amask_l * ua[None]).sum(1)                      # (nj, 6, N)
+    uw = _stack_pick(_stack_parent(u, parents), dofj)    # (nv, 6, N)
+    PS, CMv = _lane_PS(kin, Jm_np, vw, vJ_w)
+    PS_pd = _stack_pick(_stack_parent(PS, parents), dofj)
+    cw = lcross_motion(S, wv)
+    cu = lcross_motion(S, uw)
+    return LTanCtx(dt=dt, nj=nj, nv=nv, dofj=tuple(dofj),
+                   parents=tuple(parents), amask_np=amask_np, S=S, vw=vw,
+                   vp_w=vp_w, vJ_w=vJ_w, wv=wv, vjd=vjd, oX=oX,
+                   bias_w=bias_w, amask_l=amask_l, u=u, uw=uw, PS=PS,
+                   PS_pd=PS_pd, CMv=CMv, cw=cw, cu=cu)
+
+
+def lane_gforce_derivatives(kin: LKin, a, ext_w=None, ctx: LTanCtx = None):
+    """(dG_dq, dG_dv) each (nv, nv, N) — algorithms.gforce_derivatives."""
+    if ctx is None:
+        ctx = lane_tan_ctx(kin, a)
+    (dt, nj, nv, dofj, parents, amask_np, S, vw, vp_w, vJ_w, wv, vjd, oX,
+     bias_w) = (ctx.dt, ctx.nj, ctx.nv, ctx.dofj, ctx.parents, ctx.amask_np,
+                ctx.S, ctx.vw, ctx.vp_w, ctx.vJ_w, ctx.wv, ctx.vjd, ctx.oX,
+                ctx.bias_w)
+    model = kin.model
+    Am2 = amask_np[np.asarray(dofj)].T                   # (nv, nv) numpy
     g6 = lcat([-model.gravity, jnp.zeros_like(model.gravity)], 0)
     Iw6 = kin.Iw.to_matrix()                             # (nj, 6, 6, N)
-
-    # world joint-space acceleration field u_i = (J a)_i
-    ua = S * a[:, None, :]                               # (nv, 6, N)
-    amask_l = jnp.asarray(amask_np[:, :, None, None], dt)
-    u = (amask_l * ua[None]).sum(1)                      # (nj, 6, N)
-    up = _stack_parent(u, parents)                       # (nj, 6, N)
-    uw = _stack_pick(up, dofj)                           # (nv, 6, N)
+    amask_l = ctx.amask_l
+    u, uw = ctx.u, ctx.uw
 
     biasg = bias_w + g6[None]
     a_w = biasg + u
@@ -739,8 +785,8 @@ def lane_gforce_derivatives(kin: LKin, a, ext_w=None):
     if ext_w is not None:
         f = f - ext_w
 
-    PS, CMv = _lane_PS(kin, Jm_np, vw, vJ_w)
-    PS_pd = _stack_pick(_stack_parent(PS, parents), dofj)    # (nv, 6, 6, N)
+    PS, CMv = ctx.PS, ctx.CMv
+    PS_pd = ctx.PS_pd                                    # (nv, 6, 6, N)
 
     CFh2 = lCF(h2)
     ADsv = lADs(vw)
@@ -750,8 +796,7 @@ def lane_gforce_derivatives(kin: LKin, a, ext_w=None):
         G_q = G_q - lCF(ext_w)
     Gv = CFh2 + lmm(ADsv, Iw6) + lmm(Iw6, CMv)           # (nj, 6, 6, N)
 
-    cw = lcross_motion(S, wv)                            # (nv, 6, N)
-    cu = lcross_motion(S, uw)
+    cw, cu = ctx.cw, ctx.cu                              # (nv, 6, N)
     z2 = lcross_motion(cw, wv)
     zeta_q = -cu - lmv(PS_pd, S) + z2
     cj = lcross_motion(vjd, S)
@@ -791,25 +836,20 @@ class LFrameTangents(NamedTuple):
     dJa: jnp.ndarray   # (ndx, 6, N)
 
 
-def lane_frame_tangents(kin: LKin, a, fid) -> LFrameTangents:
-    """algorithms.frame_tangents port (closed-form frame-quantity tangents)."""
-    (model, meta, dt, nj, nv, dofj, parents, S, vw, vp_w, vJ_w,
-     wv, vjd, oX, bias_w, amask_np) = _lane_common(kin)
-    levels, v_off, _, _, _, _, _, _ = meta
-    Jm_np = amask_np[:, np.asarray([v_off[k] for k in range(nj)])]
+def lane_frame_tangents(kin: LKin, a, fid,
+                        ctx: LTanCtx = None) -> LFrameTangents:
+    """algorithms.frame_tangents port (closed-form frame-quantity tangents);
+    the heavy a-dependent context is shared across frames via ``ctx``."""
+    if ctx is None:
+        ctx = lane_tan_ctx(kin, a)
+    (dt, nv, S, vw, wv, vjd, bias_w, amask_np) = (
+        ctx.dt, ctx.nv, ctx.S, ctx.vw, ctx.wv, ctx.vjd, ctx.bias_w,
+        ctx.amask_np)
+    model = kin.model
     j = model.frame_parents[fid]
     N = S.shape[-1]
-
-    amask_l = jnp.asarray(amask_np[:, :, None, None], dt)
-    ua = S * a[:, None, :]
-    u = (amask_l * ua[None]).sum(1)
-    uw = _stack_pick(_stack_parent(u, parents), dofj)
-
-    PS, _ = _lane_PS(kin, Jm_np, vw, vJ_w)
-    PS_pd = _stack_pick(_stack_parent(PS, parents), dofj)
-
-    cw = lcross_motion(S, wv)
-    cu = lcross_motion(S, uw)
+    PS, PS_pd = ctx.PS, ctx.PS_pd
+    cw, cu = ctx.cw, ctx.cu
 
     mask = jnp.asarray(amask_np[j][:, None, None], dt)   # (nv, 1, 1)
     Y = kin.frame_placement(fid)
@@ -1041,13 +1081,15 @@ def lane_calc_both(seg, x, u):
         ext_w = None
         mask = None
 
+    tan_ctx = lane_tan_ctx(kin, a)
+
     def ft_of(fid):
         if fid not in fts:
-            fts[fid] = lane_frame_tangents(kin, a, fid)
+            fts[fid] = lane_frame_tangents(kin, a, fid, tan_ctx)
         return fts[fid]
 
     # -- dynamics tangents -------------------------------------------------
-    dG_dq, dG_dv = lane_gforce_derivatives(kin, a, ext_w)
+    dG_dq, dG_dv = lane_gforce_derivatives(kin, a, ext_w, tan_ctx)
     dr1_dx = -lcat([dG_dq, dG_dv], 1)                  # (nv, ndx, N)
 
     r1_all = lcat([dr1_dx, dtau_du], 1)                # (nv, ndx+nu, N)
@@ -1085,17 +1127,34 @@ def lane_calc_both(seg, x, u):
         Ru_c = None                                    # None == known zero
         Rf_c = None
         if isinstance(citem, CostState):
+            # structured GN: Rx = blockdiag(Jri_ff (6x6), I_{ndx-6}) — the
+            # dense (nr x ndx) contraction would waste ~nr*ndx^2 MACs/node
             R_c, d6 = _lane_state_diff(has_ff, nq, nv, citem.xref, x)
+            a_val, Ar, Arr = _lane_activation(citem.activation, R_c)
+            w = citem.active * citem.weight
+            cost_rate = cost_rate + w * a_val
             if has_ff:
                 Jri = ljac_se3_right_inv(d6)           # (6, 6, N)
-                top = lcat([Jri, jnp.zeros((6, ndx - 6, N), dtt)], 1)
-                Rx_c = lcat([top, leye(ndx, x)[6:]], 0)
+                Lx = Lx + w[None] * lcat([lmtv(Jri, Ar[:6]), Ar[6:]], 0)
+                TL6 = lmm(lT(Jri), Jri * Arr[:6][:, None])
+                top = lcat([TL6, jnp.zeros((6, ndx - 6, N), dtt)], 1)
+                diag_rest = (leye(ndx, x)[6:, 6:]
+                             * Arr[6:][:, None])       # (ndx-6, ndx-6, N)
+                bot = lcat([jnp.zeros((ndx - 6, 6, N), dtt), diag_rest], 1)
+                Lxx = Lxx + w[None, None] * lcat([top, bot], 0)
             else:
-                Rx_c = leye(ndx, x)
+                Lx = Lx + w[None] * Ar
+                Lxx = Lxx + w[None, None] * (leye(ndx, x) * Arr[:, None])
+            continue
         elif isinstance(citem, CostControl):
+            # Rx = 0, Ru = I: GN collapses to diagonal u-terms
             R_c = u - citem.uref
-            Rx_c = jnp.zeros((nu, ndx, N), dtt)
-            Ru_c = leye(nu, u)
+            a_val, Ar, Arr = _lane_activation(citem.activation, R_c)
+            w = citem.active * citem.weight
+            cost_rate = cost_rate + w * a_val
+            Lu = Lu + w[None] * Ar
+            Luu = Luu + w[None, None] * (leye(nu, u) * Arr[:, None])
+            continue
         elif isinstance(citem, CostCoM):
             R_c = kin.com() - citem.cref
             if com_jac is None:
@@ -1425,3 +1484,129 @@ def enabled_for(seg) -> bool:
     """Trace-time dispatch: fused path on iff mode != off and the structure
     is supported."""
     return fused_mode() != "off" and supports(seg)
+
+# ---------------------------------------------------------------------------
+# Primal-only lane evaluation (node calc) — used by the fused rollout kernel
+# (ops/fused_scans.py); mirrors RigidBodyNode.calc / _compute
+# ---------------------------------------------------------------------------
+
+def lane_integrate(has_ff, nq, nv, x, dx):
+    """state.integrate(x, dx) in lane layout: x (nx, N), dx (ndx, N)."""
+    q, v = x[:nq], x[nq:]
+    if has_ff:
+        dR, dp = lexp6(dx[:6])
+        Mff = TL(lquat_to_rot(q[3:7]), q[:3])
+        Mn = Mff.compose(TL(dR, dp))
+        qn = lrot_to_quat(Mn.R)
+        qn = qn / jnp.sqrt((qn * qn).sum(0))[None]
+        q_next = lcat([Mn.p, qn, q[7:] + dx[6:nv]], 0)
+    else:
+        q_next = q + dx[:nv]
+    return lcat([q_next, v + dx[nv:]], 0)
+
+
+def lane_calc_primal(seg, x, u):
+    """(xnext (nx, N), cost (N,)) — the node primal only (calc), lane layout.
+
+    Shares every building block with lane_calc_both but skips all tangent
+    work; used per-step by the fused sequential rollout kernel where the
+    T-loop lives INSIDE one Pallas kernel (the b=1 MPC latency path)."""
+    from ..models.multibody.actuations import (FloatingBaseActuation,
+                                               FullActuation)
+    from ..models.multibody.costs import (
+        CostCoM, CostContactForce, CostContactFrictionCone, CostControl,
+        CostFrameTranslation, CostFrameVelocity, CostState)
+
+    st = seg.state_
+    model = st.model
+    meta = algo._tree_meta(tuple(model.parents), tuple(model.joint_types),
+                           tuple(model.frame_parents))
+    nq, nv = st.nq, st.nv
+    dtt = x.dtype
+    N = x.shape[-1]
+    has_ff = JointType(model.joint_types[0]) == JointType.FREE_FLYER
+
+    q, v = x[:nq], x[nq:]
+    kin = lane_kin(model, meta, q, v)
+    if isinstance(seg.actuation, FloatingBaseActuation):
+        tau = lcat([jnp.zeros((6, N), dtt), u], 0)
+    elif isinstance(seg.actuation, FullActuation):
+        tau = u
+    else:  # pragma: no cover — guarded by supports()
+        raise NotImplementedError(type(seg.actuation))
+
+    M = lane_mass_matrix(kin, seg.armature)
+    b = lane_bias_forces(kin)
+    tau_mb = tau - b
+    contacts = (tuple(seg.contacts.contacts)
+                if seg.contacts is not None else ())
+    nc = sum(c.nc for c in contacts)
+
+    if nc:
+        Js, a0s, masks = [], [], []
+        for c in contacts:
+            Jc_c, a0_c = _lane_contact3d_calc(c, kin)
+            act = c.active[None]
+            Js.append(Jc_c * act[:, None])
+            a0s.append(a0_c * act)
+            masks.append(jnp.broadcast_to(c.active[None], (c.nc, N)))
+        Jc = lcat(Js, 0)
+        a0 = lcat(a0s, 0)
+        mask = lcat(masks, 0)
+        Lm = lchol(M)
+        rhs = lcat([jnp.swapaxes(Jc, 0, 1), tau_mb[:, None]], 1)
+        X = lcho_solve(Lm, rhs)
+        MinvJT, a_free = X[:, :nc], X[:, nc]
+        S_kkt = lmm_chunk(Jc, MinvJT, chunk=6)
+        S_kkt = (S_kkt * (mask[:, None] * mask[None, :])
+                 + leye(nc, mask) * (1.0 - mask)[:, None])
+        if seg.kkt_damping:
+            S_kkt = S_kkt + seg.kkt_damping * leye(nc, mask) \
+                * (mask[:, None] * mask[None, :])
+        b_lam = -(lmv(Jc, a_free) + a0) * mask
+        Ls = lchol(S_kkt)
+        lam = lcho_solve_vec(Ls, b_lam)
+        a = a_free + lmv(MinvJT, lam)
+    else:
+        Lm = lchol(M)
+        a = lcho_solve_vec(Lm, tau_mb)
+        lam = None
+
+    slices = []
+    i0 = 0
+    for c in contacts:
+        slices.append((i0, c.nc))
+        i0 += c.nc
+
+    cost_rate = jnp.zeros((N,), dtt)
+    for citem in seg.costs.items:
+        if isinstance(citem, CostState):
+            R_c, _ = _lane_state_diff(has_ff, nq, nv, citem.xref, x)
+        elif isinstance(citem, CostControl):
+            R_c = u - citem.uref
+        elif isinstance(citem, CostCoM):
+            R_c = kin.com() - citem.cref
+        elif isinstance(citem, CostFrameTranslation):
+            R_c = kin.frame_placement(citem.fid).p - citem.pref
+        elif isinstance(citem, CostFrameVelocity):
+            R_c = kin.frame_velocity(citem.fid) - citem.vref
+        elif isinstance(citem, CostContactFrictionCone):
+            i0c, _ = slices[citem.contact_idx]
+            R_c = lmv(citem.cone.A, lam[i0c:i0c + 3])
+        elif isinstance(citem, CostContactForce):
+            i0c, _ = slices[citem.contact_idx]
+            nrf = citem.fref.shape[0]
+            R_c = lam[i0c:i0c + nrf] - citem.fref
+        else:  # pragma: no cover — guarded by supports()
+            raise NotImplementedError(type(citem))
+        a_val, _, _ = _lane_activation(citem.activation, R_c)
+        cost_rate = cost_rate + citem.active * citem.weight * a_val
+
+    dt_l = seg.dt
+    dstep = lcat([v * dt_l[None] + a * (dt_l * dt_l)[None],
+                  a * dt_l[None]], 0)
+    xnext_int = lane_integrate(has_ff, nq, nv, x, dstep)
+    is_term = (dt_l == 0.0)
+    xnext = jnp.where(is_term[None], x, xnext_int)
+    cost = jnp.where(is_term, cost_rate, dt_l * cost_rate)
+    return xnext, cost

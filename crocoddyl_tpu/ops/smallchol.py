@@ -97,3 +97,45 @@ def cho_solve(L, b):
 def pd_solve(M, b):
     """M⁻¹ b for PD M (unrolled chol + two substitutions)."""
     return cho_solve(chol(M), b)
+
+
+def solve_upper_t_nr(L, b):
+    """Gather-free variant of solve_upper_t for use INSIDE Pallas kernels
+    (2-D operands only): mixed ellipsis/int indexing lowers to gather ops
+    that Mosaic cannot compile, so every access is CHAINED single-axis
+    indexing (L[k][i]), which lowers to static slice+squeeze.  Same math;
+    summation order differs from solve_upper_t in the last ulp, so the
+    general solver path keeps the original (golden-trace stability)."""
+    n = L.shape[-1]
+    vec = b.ndim == 1
+    bb = b[:, None] if vec else b
+    rows = [None] * n
+    for i in reversed(range(n)):
+        s = bb[i]
+        terms = [L[k][i] * rows[k] for k in range(i + 1, n)]
+        if terms:
+            s = s - sum(terms)
+        rows[i] = s / L[i][i]
+    x = jnp.stack(rows, axis=0)
+    return x[:, 0] if vec else x
+
+
+def solve_lower_nr(L, b):
+    """Gather-free forward substitution (see solve_upper_t_nr; 2-D only)."""
+    n = L.shape[-1]
+    vec = b.ndim == 1
+    bb = b[:, None] if vec else b
+    rows = []
+    for i in range(n):
+        s = bb[i]
+        terms = [L[i][k] * rows[k] for k in range(i)]
+        if terms:
+            s = s - sum(terms)
+        rows.append(s / L[i][i])
+    x = jnp.stack(rows, axis=0)
+    return x[:, 0] if vec else x
+
+
+def cho_solve_nr(L, b):
+    """Gather-free cho_solve (Pallas-kernel variant, 2-D operands)."""
+    return solve_upper_t_nr(L, solve_lower_nr(L, b))
