@@ -106,6 +106,14 @@ class SolverSettings(struct.PyTreeNode):
     # silently falls back otherwise.  Compiled on TPU, interpreted
     # elsewhere (tests).
     fused_scans: bool = struct.field(pytree_node=False, default=False)
+    # During-solve diagnostics hook (the reference's CallbackDisplay /
+    # CallbackVerbose slot, bindings __init__.py:345): a Python callable
+    # ``cb(iter, cost, xs)`` invoked EVERY solver iteration from inside the
+    # jitted loop via jax.debug.callback (async, host-side; values arrive
+    # as numpy arrays).  Pair with io.display.CallbackDisplay to render the
+    # candidate every N iterations.  None = no callback (no tracing cost).
+    iter_callback: Optional[object] = struct.field(pytree_node=False,
+                                                   default=None)
     # lax.scan unroll factor for the Riccati backward recursion and the
     # rollout scans.  The per-iteration math at robot sizes (ndx=36) is far
     # below the TPU's launch/loop overhead, so merging k steps per while
@@ -758,6 +766,8 @@ def solve(problem: ShootingProblem,
         stop = jnp.sum(st_.Qu ** 2)  # ddp.cpp:132-142
         st_ = st_.replace(stop=stop)
         st_ = record(st_)
+        if s.iter_callback is not None:
+            jax.debug.callback(s.iter_callback, st_.iter, st_.cost, st_.xs)
         if s.ms_chunk > 0 and s.feasibility_driven:
             converged = ((stop < s.th_stop)
                          & (jnp.max(jnp.abs(st_.fs)) < s.th_gaptol))

@@ -152,10 +152,23 @@ function proj(p){
 function draw(){
   cx.clearRect(0,0,cv.width,cv.height);
   const js = J[t];
-  cx.strokeStyle='#2a6fdb'; cx.lineWidth=2;
-  for (const [p,c] of B){
-    const a=proj(js[p]), b=proj(js[c]);
+  // links as depth-sorted capsules (width from link mass; the URDF ships
+  // no visual meshes, so geometry is synthesized from the kinematics)
+  const segs = [];
+  for (let i=0;i<B.length;i++){
+    const a=proj(js[B[i][0]]), b=proj(js[B[i][1]]);
+    segs.push([a,b,(DATA.widths||[])[i]||2,(a[2]+b[2])/2]);
+  }
+  segs.sort((x,y)=>x[3]-y[3]);
+  cx.lineCap='round';
+  for (const [a,b,w,d] of segs){
+    const sh = Math.max(30, Math.min(200, 120 - d*scale*0.4));
+    cx.strokeStyle='rgb('+(sh-10)+','+(sh+20)+','+(sh+90)+')';
+    cx.lineWidth=w;
     cx.beginPath(); cx.moveTo(a[0],a[1]); cx.lineTo(b[0],b[1]); cx.stroke();
+    cx.fillStyle='rgb('+(sh-10)+','+(sh+20)+','+(sh+90)+')';
+    for (const e of [a,b]){ cx.beginPath();
+      cx.arc(e[0],e[1],w*0.55,0,6.283); cx.fill(); }
   }
   cx.fillStyle='#d1342f';
   for (const f of (F[t]||[])){
@@ -193,10 +206,18 @@ def export_html(model, xs, path: str,
     frames = frames[::stride]
     lo = joints.reshape(-1, 3).min(0)
     hi = joints.reshape(-1, 3).max(0)
+    bones = _bones(parents)
+    # capsule widths from the child link's mass (m^(1/3) scaling): the
+    # vendored URDFs carry no visual meshes, so the renderer synthesizes
+    # link geometry from the kinematic tree + inertial data
+    mass = np.asarray(model.mass, np.float64)
+    widths = [float(np.clip(3.0 * np.cbrt(max(mass[c], 1e-3)), 1.5, 10.0))
+              for (_, c) in bones]
     data = {
         "joints": np.round(joints, 4).tolist(),
         "frames": np.round(frames, 4).tolist(),
-        "bones": _bones(parents),
+        "bones": bones,
+        "widths": widths,
         "dt": dt * stride,
         "mid": ((lo + hi) / 2).tolist(),
         "rng": float(max((hi - lo).max() / 2, 1e-3)),
@@ -227,3 +248,39 @@ class DisplayLog:
                                dt=dt, **kw)
         return animate_matplotlib(self.model, xs, path, self.frame_names,
                                   **kw)
+
+
+class CallbackDisplay:
+    """During-solve candidate renderer — the reference's ``CallbackDisplay``
+    (bindings/python/crocoddyl/__init__.py:345-355: re-render the candidate
+    trajectory every N solver iterations).
+
+    Pass as ``SolverSettings(iter_callback=CallbackDisplay(model, ...))``:
+    the solver invokes it from inside the jitted loop through
+    ``jax.debug.callback``, so it works under jit (values arrive host-side
+    as numpy arrays).  Every ``every`` iterations the candidate xs is
+    snapshotted; ``render()`` writes the iteration-by-iteration animation
+    (each snapshot is one "frame set" of the evolving candidate), the
+    offline analogue of watching the viewer during a solve."""
+
+    def __init__(self, model, every: int = 5,
+                 frame_names: Optional[Sequence[str]] = None):
+        self.model = model
+        self.every = max(1, int(every))
+        self.frame_names = frame_names
+        self.snapshots = []          # (iter, cost, xs)
+
+    def __call__(self, it, cost, xs):
+        it = int(np.asarray(it))
+        if it % self.every == 0:
+            self.snapshots.append((it, float(np.asarray(cost)),
+                                   np.asarray(xs)))
+
+    def render(self, path_prefix: str, dt: float = 0.01, **kw):
+        """One HTML player per snapshot: ``{prefix}_iter{k}.html``."""
+        out = []
+        for it, cost, xs in self.snapshots:
+            p = f"{path_prefix}_iter{it:03d}.html"
+            export_html(self.model, xs, p, self.frame_names, dt=dt, **kw)
+            out.append(p)
+        return out

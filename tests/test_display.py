@@ -56,3 +56,36 @@ def test_display_log(tmp_path):
         log.push(x)
     path = log.render(str(tmp_path / "mpc.html"), dt=0.02)
     assert os.path.exists(path)
+
+
+def test_iter_callback_and_callback_display(tmp_path):
+    """During-solve hook (CallbackDisplay analogue): the jitted solver
+    invokes the Python callback every iteration via jax.debug.callback."""
+    import crocoddyl_tpu as ct
+    from crocoddyl_tpu.core.action import replicate_model
+    from crocoddyl_tpu.core.problem import ShootingProblem
+    from crocoddyl_tpu.io.display import CallbackDisplay
+    from crocoddyl_tpu.models.unicycle import UnicycleModel
+    import jax.numpy as jnp
+
+    calls = []
+    m = UnicycleModel()
+    prob = ShootingProblem(x0=jnp.asarray([-1., -1., 1.]),
+                           running=replicate_model(m, 20), terminal=m)
+    sol = ct.solve(prob, settings=ct.SolverSettings(
+        maxiter=50,
+        iter_callback=lambda it, cost, xs: calls.append(int(it))))
+    assert bool(sol.converged)
+    assert len(calls) == int(sol.iter)
+
+    rm = robots.quadruped()
+    q0 = robots.quadruped_standing_q(rm)
+    x = np.concatenate([np.asarray(q0), np.zeros(rm.nv)])
+    cd = CallbackDisplay(rm, every=2)
+    for it in range(4):
+        cd(it, 1.0, np.tile(x, (3, 1)))
+    assert len(cd.snapshots) == 2
+    outs = cd.render(str(tmp_path / "cb"))
+    assert len(outs) == 2
+    html = open(outs[0]).read()
+    assert "widths" in html    # synthesized link geometry payload
