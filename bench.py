@@ -330,7 +330,22 @@ def main():
                     ("calc_diff_ms", cd, (xs_b, us_b)),
                     ("backward_ms", bw, (d1, dt1, f1)),
                     ("forward_ms", fw, (xs_b, us_b, k0, K0, f1))):
-                out[name] = amort(lambda *a, _f=fn: _f(*a), *args)
+                try:
+                    out[name] = amort(lambda *a, _f=fn: _f(*a), *args)
+                    out["stage_timing_method"] = "amortized_device"
+                except Exception:
+                    # the amortized wrapper can exceed the remote compile
+                    # server's request-size limit for the largest stage
+                    # programs; fall back to per-call block timing (carries
+                    # ~25-40 ms host dispatch on this tunnel — see
+                    # PERF_NOTES r5 calibration)
+                    fn(*args).block_until_ready()
+                    t0 = time.perf_counter()
+                    for _ in range(3):
+                        fn(*args).block_until_ready()
+                    out[name] = round((time.perf_counter() - t0) / 3 * 1e3,
+                                      2)
+                    out["stage_timing_method"] = "per_call_block"
             return out
 
         if os.environ.get("BENCH_STAGES", "1") != "0":
