@@ -117,7 +117,9 @@ def _scaling_points():
                + f" --xla_force_host_platform_device_count={n}").strip()
         env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS=xla,
                    BENCH_SCALING_WORKER=str(n),
-                   BENCH_SCALING_B=str(per_dev * n))
+                   BENCH_SCALING_B=str(per_dev * n),
+                   # CPU-target cache namespace (see tests/conftest.py)
+                   JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_cpu")
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                env=env, capture_output=True, text=True,

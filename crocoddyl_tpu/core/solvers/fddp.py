@@ -598,29 +598,46 @@ def solve(problem: ShootingProblem,
 
         # Regularization escalation (ddp.cpp:56-70): retry with reg ×10
         # until the factorization succeeds or regmax — the reference's
-        # exception-driven ladder as a masked while_loop whose body contains
-        # the ONLY instantiation of the backward pass (compile-time: one
-        # traced Riccati scan per solve instead of three).  The common case
-        # executes the body exactly once; under vmap a failing batch element
-        # costs everyone one extra masked pass (rare).
+        # exception-driven ladder in TWO phases: a SCALAR-carry probe loop
+        # resolves the final (xreg, ureg), then ONE full backward pass runs
+        # at the resolved regularization.  Carrying the full direction tree
+        # (Vx/Vxx/k/K/...) through the while_loop cost ~15x the backward
+        # pass itself at batch sizes (round-5 measurement: 85 ms vs 5.6 ms
+        # at B=64 — vmapped while carries pay per-iteration masked
+        # select/copy over the whole carry).  The probe pass stacks no
+        # outputs (_backward_pass(probe=True): the scan carries only
+        # (Vx, Vxx, failed)), so the common case costs one probe + one full
+        # pass.  Decision-identical to the reference ladder: the probe's
+        # failure flag is the same computation as the full pass's.
+
+        def probe_failed(xreg, ureg):
+            if s.parallel_riccati and not s.box:
+                from .parallel_riccati import backward_pass_parallel
+                return backward_pass_parallel(derivs, dterm, fs, xreg,
+                                              ureg)[-1]
+            if use_fscan:
+                from ...ops.fused_scans import riccati_backward_fused
+                return riccati_backward_fused(derivs, dterm, fs, xreg,
+                                              ureg,
+                                              interpret=_fs_interp)[-1]
+            return _backward_pass(derivs, dterm, fs, xreg, ureg, box_args,
+                                  probe=True, unroll=s.scan_unroll)
+
         def retry_cond(c):
-            _, _, pending = c
-            return pending
+            return c[2]
 
         def retry_body(c):
-            res_prev, (xreg, ureg), _ = c
-            res_n = bp(xreg, ureg)
-            failed_n = res_n[-1]
+            xreg, ureg, _ = c
+            failed_n = probe_failed(xreg, ureg)
             can_retry = failed_n & (xreg < regmax)
             reg_new = jnp.where(can_retry,
                                 jnp.minimum(xreg * regfactor, regmax), xreg)
-            return res_n, (reg_new, reg_new), can_retry
+            return (reg_new, reg_new, can_retry)
 
-        res0 = jax.tree.map(
-            lambda sh: jnp.zeros(sh.shape, sh.dtype),
-            jax.eval_shape(lambda: bp(st_.xreg, st_.ureg)))
-        init = (res0, (st_.xreg, st_.ureg), jnp.ones((), bool))
-        (res, (xreg, ureg), _) = jax.lax.while_loop(retry_cond, retry_body, init)
+        xreg, ureg, _ = jax.lax.while_loop(
+            retry_cond, retry_body,
+            (st_.xreg, st_.ureg, jnp.ones((), bool)))
+        res = bp(xreg, ureg)
         Vx, Vxx, Qu, kvec, K, Quuk, failed = res
         diverged = st_.diverged | failed  # still failing at regmax ⇒ abort
         return st_.replace(derivs=derivs, dterm=dterm, fs=fs, cost=cost,

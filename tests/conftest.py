@@ -20,7 +20,14 @@ import jax  # noqa: E402  (import after env setup)
 # still wins as long as no backend has been initialized yet.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# SEPARATE cache namespace for CPU-oracle tests: the axon TPU terminal
+# remote-compiles XLA:CPU executables with its OWN machine features and the
+# persistent-cache key does not distinguish the target, so a shared dir
+# serves AOT entries the host cannot safely execute (cpu_aot_loader warns
+# "Machine type ... doesn't match ... could lead to execution errors such
+# as SIGILL") — the prime suspect for the nondeterministic long-run
+# segfaults that forced tests/run_suite.sh's process-per-file isolation.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

@@ -4,8 +4,13 @@
 # XLA:CPU on this class of host segfaults nondeterministically in very long
 # single-process pytest runs (observed inside backend_compile_and_load and
 # executable (de)serialization, at varying items; every file passes in its
-# own process).  Running one pytest process per test file sidesteps the
-# instability and matches how CI shards anyway.  Usage:
+# own process).  ROOT CAUSE (round 5): the persistent compile cache was
+# shared with the axon TPU terminal, whose remote compiler emits XLA:CPU
+# AOT executables for a DIFFERENT machine-feature set; the cache key does
+# not include the target, and cpu_aot_loader explicitly warns the
+# mismatched entries "could lead to execution errors such as SIGILL".
+# tests/conftest.py now uses a CPU-only cache dir (/tmp/jax_cache_cpu);
+# the per-file isolation is kept as defense in depth.  Usage:
 #     bash tests/run_suite.sh [extra pytest args]
 set -u
 cd "$(dirname "$0")/.."
