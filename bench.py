@@ -209,12 +209,29 @@ def main():
     us0 = jax.jit(prob.quasi_static)(xs0)
     x0s = _perturbed_x0s(prob, x0, B, dtype, which)
 
-    def run_fn(x0s):
-        def one(x0_i):
-            s = solve(prob.replace(x0=x0_i), xs_init=xs0, us_init=us0,
-                      settings=settings)
-            return s.cost
-        return jax.vmap(one)(x0s)
+    # BENCH_NATIVE=1: the batch-native lane solver (core/solvers/
+    # fddp_batch.py — problems on the Pallas lane axis, +~20% measured at
+    # B=256).  Opt-in: on TPU f32 its true-f32 lane arithmetic lands on
+    # (legitimately) different accepted steps than the vmapped path's
+    # reduced-precision MXU matmuls on this chaotic warm start, so the
+    # default lane keeps round 1-5 comparability.
+    use_native = os.environ.get("BENCH_NATIVE", "0") == "1"
+    if use_native:
+        from crocoddyl_tpu.core.solvers import fddp_batch
+        use_native = fddp_batch.supports(prob, settings)
+
+    if use_native:
+        def run_fn(x0s):
+            return fddp_batch.solve_batch(
+                prob, x0s, xs_init=xs0, us_init=us0,
+                settings=settings).cost
+    else:
+        def run_fn(x0s):
+            def one(x0_i):
+                s = solve(prob.replace(x0=x0_i), xs_init=xs0, us_init=us0,
+                          settings=settings)
+                return s.cost
+            return jax.vmap(one)(x0s)
 
     run = jax.jit(run_fn)
     costs = run(x0s)

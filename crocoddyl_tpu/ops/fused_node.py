@@ -1366,14 +1366,27 @@ def calc_both_stacked(seg, xs, us, mode: Optional[str] = None):
     it as a Pallas kernel over NB-node blocks."""
     mode = mode or fused_mode()
     T = xs.shape[0]
-    n_pad = (-T) % NB
-    seg_l = _pad_lanes(_to_lanes(seg), n_pad)
-    x_l = _pad_lanes(jnp.moveaxis(xs, 0, -1), n_pad)
-    u_l = _pad_lanes(jnp.moveaxis(us, 0, -1), n_pad)
+    out_l = calc_both_lanes(_to_lanes(seg),
+                            jnp.moveaxis(xs, 0, -1),
+                            jnp.moveaxis(us, 0, -1), mode)
+    return _from_lanes(out_l, T)
+
+
+def calc_both_lanes(seg_l, x_l, u_l, mode: Optional[str] = None):
+    """Lane-layout entry (no transposes): seg leaves (..., N), x (nx, N),
+    u (nu, N) → lane-layout (NodeDerivs, xnexts (nx, N), costs (N,)).
+    Used directly by the batch-native solver, which keeps everything in
+    lane layout (core/solvers/fddp_batch.py)."""
+    mode = mode or fused_mode()
+    N0 = x_l.shape[-1]
+    n_pad = (-N0) % NB
+    seg_l = _pad_lanes(seg_l, n_pad)
+    x_l = _pad_lanes(x_l, n_pad)
+    u_l = _pad_lanes(u_l, n_pad)
 
     if mode == "jnp":
         out = lane_calc_both(seg_l, x_l, u_l)
-        return _from_lanes(out, T)
+        return jax.tree.map(lambda a: a[..., :N0], out)
 
     # ---- pallas: grid over NB-node blocks, every operand in VMEM ---------
     from jax.experimental import pallas as pl
@@ -1384,7 +1397,7 @@ def calc_both_stacked(seg, xs, us, mode: Optional[str] = None):
         pltpu = None
         vmem = None
 
-    Npad = T + n_pad
+    Npad = N0 + n_pad
     grid = (Npad // NB,)
 
     seg_leaves, seg_def = jax.tree.flatten(seg_l)
@@ -1477,7 +1490,7 @@ def calc_both_stacked(seg, xs, us, mode: Optional[str] = None):
     out_lanes_flat = [a[0] if l else a
                       for a, l in zip(out_lanes_flat, out_lift)]
     out_lanes = jax.tree.unflatten(out_def, out_lanes_flat)
-    return _from_lanes(out_lanes, T)
+    return jax.tree.map(lambda a: a[..., :N0], out_lanes)
 
 
 def enabled_for(seg) -> bool:
