@@ -22,12 +22,17 @@ else:  # pragma: no cover — before first record_golden.py run
     _GOLDEN = {}
     pytestmark = pytest.mark.skip(reason="tests/golden.json not recorded yet")
 
-# heavy configs → their own slow lane; everything else runs in the suite
+# heavy configs → their own slow lane; everything else runs in the suite.
+# Round-5 widening (VERDICT r4 next-step #7): arm_manipulation(+trajectory)
+# and boxfddp_vs_boxddp moved to the default lane (37-78 s each, measured
+# warm-cache on the 2-core host) → 8/17 configs in the fast lane.  The
+# remaining 9 stay slow because each costs 2-8 minutes here (taichi,
+# humanoids, the 149-iteration walk_ubound — see PARITY.md §d — and the
+# 640-iteration cartpole); the slow lane runs them all via `-m ""`.
 _HEAVY = {"humanoid_taichi", "bipedal_walk", "quadrupedal_walking",
           "quadrupedal_walk_ubound", "bipedal_walk_cop",
-          "humanoid_manipulation", "boxfddp_vs_boxddp",
-          "arm_manipulation_trajectory", "bipedal_walk_changing_gait",
-          "humanoid_manipulation_ubound", "arm_manipulation",
+          "humanoid_manipulation", "bipedal_walk_changing_gait",
+          "humanoid_manipulation_ubound",
           "cartpole_swingup"}
 
 
