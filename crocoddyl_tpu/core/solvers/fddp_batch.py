@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from ...dynamics.model import JointType
 from ...ops import fused_node as _fn
 from ...ops import fused_scans as _fsc
-from .fddp import Solution, SolverSettings, _bad
+from .fddp import Solution, SolverSettings
 
 
 def supports(problem, settings: SolverSettings) -> bool:

@@ -37,7 +37,6 @@ time).
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import NamedTuple, Optional
 
 import numpy as np

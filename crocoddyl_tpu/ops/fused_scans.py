@@ -20,16 +20,11 @@ configurations.  Enabled with SolverSettings(fused_scans=True).
 
 from __future__ import annotations
 
-from typing import Optional
-
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
-from . import smallchol as _sc
 from . import fused_node as fnode
-from .fused_node import (TL, _lane_state_diff, lane_calc_primal,
+from .fused_node import (_lane_state_diff, lane_calc_primal,
                          lane_integrate, lmv)
 
 
