@@ -161,8 +161,30 @@ class ShootingProblem(struct.PyTreeNode):
         derivs = _concat_tree([o[0] for o in outs])
         xnexts = jnp.concatenate([o[1] for o in outs], axis=0)
         costs = jnp.concatenate([o[2] for o in outs], axis=0)
-        dterm = self.terminal.calc_diff_terminal(xs[-1])
-        cterm = self.terminal.calc_terminal(xs[-1])
+        # Terminal node through the fused kernel when its structure is
+        # covered: a dt=0 node IS the terminal node (euler.hxx:64-74 —
+        # Fx=I, Fu=0, undiscounted cost), so one extra 1-node kernel block
+        # replaces the generic node trace (~hundreds of small ops that
+        # dominate b=1 latency).  Lu/Lxu/Luu are zeroed to match
+        # calc_diff_terminal's Ru=0 convention exactly (the solver never
+        # reads them for the terminal, but keep the contract tight).
+        term1 = None
+        if getattr(self.terminal, "dt", None) is not None:
+            term1 = jax.tree.map(lambda l: jnp.asarray(l)[None],
+                                 self.terminal)
+            term1 = term1.replace(dt=jnp.zeros_like(term1.dt))
+        if term1 is not None and fused_node.enabled_for(term1):
+            d1, _, c1 = fused_node.calc_both_stacked(
+                term1, xs[-1:],
+                jnp.zeros((1, self.nu), xs.dtype))
+            dterm = jax.tree.map(lambda l: l[0], d1)
+            dterm = dterm.replace(Lu=jnp.zeros_like(dterm.Lu),
+                                  Lxu=jnp.zeros_like(dterm.Lxu),
+                                  Luu=jnp.zeros_like(dterm.Luu))
+            cterm = c1[0]
+        else:
+            dterm = self.terminal.calc_diff_terminal(xs[-1])
+            cterm = self.terminal.calc_terminal(xs[-1])
         return derivs, dterm, xnexts, jnp.concatenate([costs, cterm[None]])
 
     def rollout(self, us: jax.Array) -> jax.Array:
