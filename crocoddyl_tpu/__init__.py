@@ -16,6 +16,8 @@ from .core.solvers.fddp import (
     fddp_settings, box_ddp_settings, box_fddp_settings,
 )
 from .core.solvers import boxqp, kkt
+from .core.solvers.fddp_batch import solve_batch
+from .ops.fused_node import set_fused_mode
 from .utils.casting import cast_floats
 from .utils.callbacks import (
     print_trace, format_trace, SolverLog, save_solution, load_solution,
