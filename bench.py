@@ -234,8 +234,21 @@ def main():
             return jax.vmap(one)(x0s)
 
     run = jax.jit(run_fn)
-    costs = run(x0s)
-    costs.block_until_ready()  # compile + warmup
+    try:
+        costs = run(x0s)
+        costs.block_until_ready()  # compile + warmup
+    except Exception as e:
+        # safety net: if the Pallas kernels fail to compile on THIS chip
+        # (driver hardware may differ from the dev chip), fall back to the
+        # generic XLA path rather than losing the benchmark entirely
+        from crocoddyl_tpu.ops import fused_node as _fn
+        if _fn.fused_mode() == "off":
+            raise
+        print(json.dumps({"fused_fallback": str(e)[:200]}), file=sys.stderr)
+        _fn.set_fused_mode("off")
+        run = jax.jit(run_fn)
+        costs = run(x0s)
+        costs.block_until_ready()
     assert not bool(jnp.isnan(costs).any()), "NaN cost in benchmark solve"
 
     # block_until_ready per rep: the call has ONE device-resident operand,
