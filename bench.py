@@ -16,7 +16,9 @@ stderr + BENCH_DETAIL.json: auxiliary metrics — per-stage timing split
 (the arm-manipulation-timings.cpp analogue), model-FLOPs + MFU estimate
 from XLA cost analysis, and a small-batch p50 MPC replan latency.
 
-Env knobs: BENCH_B (batch, default 128), BENCH_MAXITER (default 1),
+Env knobs: BENCH_NATIVE=0 (vmapped round 1-4 lane instead of the
+batch-native Pallas lane solver), BENCH_B (batch, default 256),
+BENCH_MAXITER (default 1),
 BENCH_REPS (default 3), BENCH_PROBLEM=quadruped|unicycle,
 BENCH_DETAIL=1 to emit the auxiliary metrics (several extra compiles),
 BENCH_PR=1 to use the horizon-parallel Riccati backward pass,
@@ -209,46 +211,55 @@ def main():
     us0 = jax.jit(prob.quasi_static)(xs0)
     x0s = _perturbed_x0s(prob, x0, B, dtype, which)
 
-    # BENCH_NATIVE=1: the batch-native lane solver (core/solvers/
+    # Default lane: the batch-native lane solver (core/solvers/
     # fddp_batch.py — problems on the Pallas lane axis, +~20% measured at
-    # B=256).  Opt-in: on TPU f32 its true-f32 lane arithmetic lands on
-    # (legitimately) different accepted steps than the vmapped path's
-    # reduced-precision MXU matmuls on this chaotic warm start, so the
-    # default lane keeps round 1-5 comparability.
-    use_native = os.environ.get("BENCH_NATIVE", "0") == "1"
+    # B=256; BENCH_NATIVE=0 restores the round 1-4 vmapped lane).
+    # Decision-equivalence with vmap(fddp.solve) is pinned in f64 on CPU
+    # (tests/test_fddp_batch.py); on TPU f32 the lane kernels' true-f32
+    # VPU arithmetic lands on (legitimately) different accepted steps
+    # than the vmapped path's reduced-precision MXU matmuls on this
+    # chaotic warm start — the lane arithmetic is the MORE accurate of
+    # the two (PERF_NOTES round-5 precision note).
+    use_native = os.environ.get("BENCH_NATIVE", "1") == "1"
     if use_native:
         from crocoddyl_tpu.core.solvers import fddp_batch
         use_native = fddp_batch.supports(prob, settings)
 
-    if use_native:
-        def run_fn(x0s):
-            return fddp_batch.solve_batch(
-                prob, x0s, xs_init=xs0, us_init=us0,
-                settings=settings).cost
-    else:
-        def run_fn(x0s):
-            def one(x0_i):
-                s = solve(prob.replace(x0=x0_i), xs_init=xs0, us_init=us0,
-                          settings=settings)
-                return s.cost
-            return jax.vmap(one)(x0s)
+    def native_fn(x0s):
+        return fddp_batch.solve_batch(
+            prob, x0s, xs_init=xs0, us_init=us0,
+            settings=settings).cost
 
-    run = jax.jit(run_fn)
-    try:
-        costs = run(x0s)
-        costs.block_until_ready()  # compile + warmup
-    except Exception as e:
-        # safety net: if the Pallas kernels fail to compile on THIS chip
-        # (driver hardware may differ from the dev chip), fall back to the
-        # generic XLA path rather than losing the benchmark entirely
-        from crocoddyl_tpu.ops import fused_node as _fn
-        if _fn.fused_mode() == "off":
-            raise
-        print(json.dumps({"fused_fallback": str(e)[:200]}), file=sys.stderr)
-        _fn.set_fused_mode("off")
+    def vmapped_fn(x0s):
+        def one(x0_i):
+            s = solve(prob.replace(x0=x0_i), xs_init=xs0, us_init=us0,
+                      settings=settings)
+            return s.cost
+        return jax.vmap(one)(x0s)
+
+    run_fn = native_fn if use_native else vmapped_fn
+
+    def compile_or_fallback(run_fn):
+        # safety net ladder: if a kernel lane fails to compile/run on THIS
+        # chip (driver hardware may differ from the dev chip), fall back
+        # batch-native -> vmapped -> generic-XLA rather than losing the
+        # benchmark entirely
         run = jax.jit(run_fn)
-        costs = run(x0s)
-        costs.block_until_ready()
+        try:
+            return run_fn, run, run(x0s).block_until_ready()
+        except Exception as e:
+            print(json.dumps({"bench_fallback": str(e)[:200]}),
+                  file=sys.stderr)
+            from crocoddyl_tpu.ops import fused_node as _fn
+            if run_fn is native_fn:
+                return compile_or_fallback(vmapped_fn)
+            if _fn.fused_mode() == "off":
+                raise
+            _fn.set_fused_mode("off")
+            run = jax.jit(vmapped_fn)
+            return vmapped_fn, run, run(x0s).block_until_ready()
+
+    run_fn, run, costs = compile_or_fallback(run_fn)
     assert not bool(jnp.isnan(costs).any()), "NaN cost in benchmark solve"
 
     # block_until_ready per rep: the call has ONE device-resident operand,
@@ -293,18 +304,20 @@ def main():
         # (round-5 calibration).  Lanes: sequential baseline; fused_scans
         # (whole-scan Pallas kernels, ops/fused_scans.py); and the r4
         # levers PR (parallel Riccati) / MS+PR for comparison.
-        def latency_amortized(tag, **st_kw):
+        def latency_amortized(tag, xs_w=None, us_w=None, **st_kw):
             st_lat = SolverSettings(
                 maxiter=maxiter, record_trace=False,
                 parallel_linesearch=False, **st_kw)
+            xs_w = xs0 if xs_w is None else xs_w
+            us_w = us0 if us_w is None else us_w
             K_REP = 10
 
             def loop(eps):
                 def body(i, carry):
                     e, acc = carry
                     x0_i = prob.x0.at[-1].add(e * 1e-6)
-                    s = solve(prob.replace(x0=x0_i), xs_init=xs0,
-                              us_init=us0, settings=st_lat)
+                    s = solve(prob.replace(x0=x0_i), xs_init=xs_w,
+                              us_init=us_w, settings=st_lat)
                     return (s.cost * 1e-30 + eps, acc + s.cost)
                 return jax.lax.fori_loop(
                     0, K_REP, body, (eps, jnp.zeros((), dtype)))[1]
@@ -323,6 +336,26 @@ def main():
                     latency_amortized(tag, **kw_l)
             except Exception as e:  # pragma: no cover
                 aux[f"latency_{tag}error"] = str(e)[:300]
+
+        # steady-state MPC replan: warm-started at the CONVERGED solution
+        # (the real ~1 kHz MPC operating point — circularAppend reuses the
+        # previous solution, shooting.hpp:112-129).  The quasi-static lanes
+        # above are a cold-replan stress case: their line search rejects
+        # several alphas, each a full trial rollout (benchmarks/
+        # profile_b1.py bisect: one inlined iteration is 2.7 ms while the
+        # quasi-static-warm-started solve is ~11.5 ms).
+        try:
+            st_conv = SolverSettings(maxiter=50, record_trace=False,
+                                     parallel_linesearch=False,
+                                     fused_scans=True)
+            sol_w = jax.jit(lambda: solve(prob, xs_init=xs0, us_init=us0,
+                                          settings=st_conv))()
+            sol_w.cost.block_until_ready()
+            aux["replan_latency_b1_fscan_warm_device_ms"] = \
+                latency_amortized("warm", xs_w=sol_w.xs, us_w=sol_w.us,
+                                  fused_scans=True)
+        except Exception as e:  # pragma: no cover
+            aux["latency_warm_error"] = str(e)[:300]
 
         # ---- per-stage split (calc_diff / backward / forward) -------------
         def stage_times():

@@ -598,17 +598,22 @@ def solve(problem: ShootingProblem,
 
         # Regularization escalation (ddp.cpp:56-70): retry with reg ×10
         # until the factorization succeeds or regmax — the reference's
-        # exception-driven ladder in TWO phases: a SCALAR-carry probe loop
-        # resolves the final (xreg, ureg), then ONE full backward pass runs
-        # at the resolved regularization.  Carrying the full direction tree
-        # (Vx/Vxx/k/K/...) through the while_loop cost ~15x the backward
-        # pass itself at batch sizes (round-5 measurement: 85 ms vs 5.6 ms
-        # at B=64 — vmapped while carries pay per-iteration masked
-        # select/copy over the whole carry).  The probe pass stacks no
-        # outputs (_backward_pass(probe=True): the scan carries only
-        # (Vx, Vxx, failed)), so the common case costs one probe + one full
-        # pass.  Decision-identical to the reference ladder: the probe's
-        # failure flag is the same computation as the full pass's.
+        # exception-driven ladder, restructured so the COMMON case (no
+        # factorization failure — every warm-started MPC step) costs
+        # exactly ONE full backward pass:
+        #   1. run the full pass at the current reg; its failure flag is
+        #      the same computation the reference's try/catch observes;
+        #   2. if it failed, resolve the final (xreg, ureg) with a
+        #      SCALAR-carry probe ladder (probe passes stack no outputs);
+        #   3. re-run the full pass at the resolved reg — expressed as a
+        #      run-at-most-once while_loop so that, under vmap, a batch
+        #      with no failures pays ZERO masked-copy cost (a lax.cond
+        #      would execute both branches under vmap; carrying the full
+        #      direction tree through the ladder itself cost ~15x the
+        #      backward pass at batch sizes — round-5 measurement, 85 ms
+        #      vs 5.6 ms at B=64).
+        # Decision-identical to the reference ladder: the same regs are
+        # probed in the same order with the same failure predicate.
 
         def probe_failed(xreg, ureg):
             if s.parallel_riccati and not s.box:
@@ -623,6 +628,13 @@ def solve(problem: ShootingProblem,
             return _backward_pass(derivs, dterm, fs, xreg, ureg, box_args,
                                   probe=True, unroll=s.scan_unroll)
 
+        res0 = bp(st_.xreg, st_.ureg)
+        failed0 = res0[-1]
+        pend0 = failed0 & (st_.xreg < regmax)
+        xreg1 = jnp.where(pend0,
+                          jnp.minimum(st_.xreg * regfactor, regmax),
+                          st_.xreg)
+
         def retry_cond(c):
             return c[2]
 
@@ -635,9 +647,16 @@ def solve(problem: ShootingProblem,
             return (reg_new, reg_new, can_retry)
 
         xreg, ureg, _ = jax.lax.while_loop(
-            retry_cond, retry_body,
-            (st_.xreg, st_.ureg, jnp.ones((), bool)))
-        res = bp(xreg, ureg)
+            retry_cond, retry_body, (xreg1, xreg1, pend0))
+
+        def redo_cond(c):
+            return c[1]
+
+        def redo_body(c):
+            return (bp(xreg, ureg), jnp.zeros((), bool))
+
+        res, _ = jax.lax.while_loop(
+            redo_cond, redo_body, (res0, xreg != st_.xreg))
         Vx, Vxx, Qu, kvec, K, Quuk, failed = res
         diverged = st_.diverged | failed  # still failing at regmax ⇒ abort
         return st_.replace(derivs=derivs, dterm=dterm, fs=fs, cost=cost,

@@ -149,10 +149,22 @@ def solve_batch(problem, x0s,
         derivs_l, dterm_l, fs_l, cost_new = calc_diff(xs_l, us_l, feasible)
         cost = jnp.where(active, cost_new, cost)
 
-        # reg escalation: scalar-carry probe ladder (ddp.cpp:56-70)
-        def probe_failed(xr, ur):
+        # reg escalation (ddp.cpp:56-70), common-case-one-pass form: run
+        # the full backward at the current reg; only if some lane's
+        # factorization failed, resolve the final reg with a scalar-carry
+        # probe ladder and re-run the full pass (lax.cond — the predicate
+        # is a true scalar here, so the untaken branch never executes).
+        def bp_full(xr, ur):
             return _fsc.riccati_backward_lanes(
-                derivs_l, dterm_l, fs_l, xr, ur, interpret=interp)[-1]
+                derivs_l, dterm_l, fs_l, xr, ur, interpret=interp)
+
+        def probe_failed(xr, ur):
+            return bp_full(xr, ur)[-1]
+
+        res0 = bp_full(xreg, ureg)
+        pend0 = res0[-1] & (xreg < regmax)
+        xreg1 = jnp.where(pend0, jnp.minimum(xreg * regfactor, regmax),
+                          xreg)
 
         def r_cond(cc):
             return cc[2].any()
@@ -165,12 +177,14 @@ def solve_batch(problem, x0s,
             return (xr, xr, can)
 
         xreg_n, ureg_n, _ = jax.lax.while_loop(
-            r_cond, r_body, (xreg, ureg, jnp.ones((B,), bool)))
-        xreg = jnp.where(active, xreg_n, xreg)
-        ureg = jnp.where(active, ureg_n, ureg)
-        (Vx_l, Vxx_l, Qu_l, k_l, K_l, Quuk_l, failed) = \
-            _fsc.riccati_backward_lanes(derivs_l, dterm_l, fs_l, xreg,
-                                        ureg, interpret=interp)
+            r_cond, r_body, (xreg1, xreg1, pend0))
+        xreg_m = jnp.where(active, xreg_n, xreg)
+        ureg_m = jnp.where(active, ureg_n, ureg)
+        res = jax.lax.cond(
+            ((xreg_m != xreg) | (ureg_m != ureg)).any(),
+            lambda: bp_full(xreg_m, ureg_m), lambda: res0)
+        xreg, ureg = xreg_m, ureg_m
+        (Vx_l, Vxx_l, Qu_l, k_l, K_l, Quuk_l, failed) = res
         div = div | (active & failed)
 
         # expected improvement (fddp.cpp:126-147)
