@@ -19,7 +19,7 @@ from crocoddyl_tpu.apps.gaits import BipedGaitFactory
 from crocoddyl_tpu.dynamics import robots
 
 
-def main(n_cycles=1):
+def main(n_cycles=1, step_knots=35, support_knots=10, maxiter=150):
     m = robots.biped()
     q0 = robots.biped_standing_q(m)
     x0 = jnp.concatenate([q0, jnp.zeros(m.nv)])
@@ -29,11 +29,12 @@ def main(n_cycles=1):
     for _ in range(n_cycles):
         problem = fac.walking_problem(np.asarray(x0), step_length=0.6,
                                       step_height=0.1, dt=0.03,
-                                      step_knots=35, support_knots=10)
+                                      step_knots=step_knots,
+                                      support_knots=support_knots)
         xs = jnp.tile(problem.x0[None], (problem.T + 1, 1))
         us = problem.quasi_static(xs)
         sol = ct.solve(problem, xs_init=xs, us_init=us,
-                       settings=ct.SolverSettings(maxiter=150))
+                       settings=ct.SolverSettings(maxiter=maxiter))
         ct.print_trace(sol, "bipedal_walk")
         x0 = sol.xs[-1]
         sols.append(sol)

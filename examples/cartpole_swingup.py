@@ -69,9 +69,9 @@ def make_problem(T=50, dt=5e-2):
     return ct.ShootingProblem(x0=x0, running=running, terminal=terminal)
 
 
-def main():
+def main(maxiter=1000):
     problem = make_problem()
-    sol = ct.solve(problem, settings=ct.SolverSettings(maxiter=1000))
+    sol = ct.solve(problem, settings=ct.SolverSettings(maxiter=maxiter))
     ct.print_trace(sol, "cartpole_swingup")
     print("final state:", np.asarray(sol.xs[-1]))
     return sol

@@ -76,12 +76,12 @@ def make_problem(T=30, dt=2e-2, target=(0.4, 0.2, 1.0)):
     return ct.ShootingProblem(x0=x0, running=running, terminal=terminal), gid, m
 
 
-def main():
-    problem, gid, m = make_problem()
+def main(T=30, maxiter=100):
+    problem, gid, m = make_problem(T=T)
     xs = jnp.tile(problem.x0[None], (problem.T + 1, 1))
     us = problem.quasi_static(xs)
     sol = ct.solve(problem, xs_init=xs, us_init=us,
-                   settings=ct.SolverSettings(maxiter=100))
+                   settings=ct.SolverSettings(maxiter=maxiter))
     ct.print_trace(sol, "humanoid_manipulation")
     qT = sol.xs[-1][:m.nq]
     oMi, _ = algo.forward_kinematics(m, qT)

@@ -26,15 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from humanoid_manipulation import make_problem  # noqa: E402
 
 
-def main(lim_scale=0.6):
-    problem, gid, m = make_problem()
+def main(lim_scale=0.6, T=30, maxiter=150):
+    problem, gid, m = make_problem(T=T)
     lim = np.asarray(m.effort_limit)[6:] * lim_scale  # actuated joints only
     u_lb = jnp.asarray(-lim)
     u_ub = jnp.asarray(lim)
     xs = jnp.tile(problem.x0[None], (problem.T + 1, 1))
     us = problem.quasi_static(xs)
     sol = ct.solve(problem, xs_init=xs, us_init=us,
-                   settings=ct.box_fddp_settings(maxiter=150),
+                   settings=ct.box_fddp_settings(maxiter=maxiter),
                    u_lb=u_lb, u_ub=u_ub)
     ct.print_trace(sol, "humanoid_manipulation_ubound")
     qT = sol.xs[-1][:m.nq]

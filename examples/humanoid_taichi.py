@@ -95,12 +95,12 @@ def make_problem(T_phase=15, dt=2e-2):
                                terminal=terminal), gid, m)
 
 
-def main():
-    problem, gid, m = make_problem()
+def main(T_phase=15, dt=2e-2, maxiter=150):
+    problem, gid, m = make_problem(T_phase=T_phase, dt=dt)
     xs = jnp.tile(problem.x0[None], (problem.T + 1, 1))
     us = problem.quasi_static(xs)
     sol = ct.solve(problem, xs_init=xs, us_init=us,
-                   settings=ct.SolverSettings(maxiter=150))
+                   settings=ct.SolverSettings(maxiter=maxiter))
     ct.print_trace(sol, "humanoid_taichi")
     print("converged:", bool(sol.converged), " cost:", float(sol.cost))
     return sol

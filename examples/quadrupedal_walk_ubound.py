@@ -19,7 +19,7 @@ from crocoddyl_tpu.apps.gaits import QuadrupedGaitFactory
 from crocoddyl_tpu.dynamics import robots
 
 
-def main():
+def main(step_knots=25, support_knots=2, maxiter=150):
     m = robots.quadruped()
     q0 = robots.quadruped_standing_q(m)
     x0 = jnp.concatenate([q0, jnp.zeros(m.nv)])
@@ -28,12 +28,13 @@ def main():
         default_q=np.asarray(q0))
     problem = fac.walking_problem(np.asarray(x0), step_length=0.25,
                                   step_height=0.15, dt=1e-2,
-                                  step_knots=25, support_knots=2)
+                                  step_knots=step_knots,
+                                  support_knots=support_knots)
     lim = np.asarray(m.effort_limit)[6:]
     xs = jnp.tile(problem.x0[None], (problem.T + 1, 1))
     us = problem.quasi_static(xs)
     sol = ct.solve(problem, xs_init=xs, us_init=us,
-                   settings=ct.box_fddp_settings(maxiter=150),
+                   settings=ct.box_fddp_settings(maxiter=maxiter),
                    u_lb=jnp.asarray(-lim), u_ub=jnp.asarray(lim))
     ct.print_trace(sol, "quadrupedal_walk_ubound")
     print("converged:", bool(sol.converged), " cost:", float(sol.cost),

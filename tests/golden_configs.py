@@ -162,3 +162,91 @@ EXAMPLES.update({
     "bipedal_walk_changing_gait": bipedal_walk_changing_gait,
     "humanoid_manipulation_ubound": humanoid_manipulation_ubound,
 })
+
+
+# ---------------------------------------------------------------------------
+# Fast variants of the heavy configurations (VERDICT r4 next-step #7: every
+# example family pinned in the DEFAULT lane, smaller variants where needed).
+# Each builds the same problem recipe at a reduced size / iteration cap so
+# the full-size configs (slow lane) can't silently regress between rounds.
+# A capped, non-converged trace is still a deterministic regression anchor:
+# iteration count and final cost are pinned exactly like the full runs.
+# ---------------------------------------------------------------------------
+
+def cartpole_swingup_fast():
+    import cartpole_swingup as ex
+    return _sol_of(ex.main(maxiter=120))
+
+
+def humanoid_taichi_fast():
+    import humanoid_taichi as ex
+    return _sol_of(ex.main(T_phase=4, maxiter=40))
+
+
+def bipedal_walk_fast():
+    import bipedal_walk as ex
+    return _sol_of(ex.main(step_knots=8, support_knots=3, maxiter=60))
+
+
+def quadrupedal_walking_fast():
+    """step_knots=3/support_knots=1 variant of the ANYmal-URDF walk."""
+    import numpy as np
+    import jax.numpy as jnp
+    import crocoddyl_tpu as ct
+    from crocoddyl_tpu.apps.gaits import QuadrupedGaitFactory
+    from crocoddyl_tpu.dynamics import robots
+    m = robots.anymal()
+    q0 = robots.quadruped_standing_q(m, height=0.48)
+    x0 = jnp.concatenate([q0, jnp.zeros(m.nv)])
+    fac = QuadrupedGaitFactory(
+        m, ["LF_FOOT", "RF_FOOT", "LH_FOOT", "RH_FOOT"],
+        default_q=np.asarray(q0))
+    prob = fac.walking_problem(x0, 0.25, 0.15, 1e-2, step_knots=3,
+                               support_knots=1)
+    xs = jnp.tile(prob.x0[None], (prob.T + 1, 1))
+    us = prob.quasi_static(xs)
+    return ct.solve(prob, xs_init=xs, us_init=us,
+                    settings=ct.SolverSettings(maxiter=40))
+
+
+def quadrupedal_walk_ubound_fast():
+    import quadrupedal_walk_ubound as ex
+    return _sol_of(ex.main(step_knots=6, support_knots=1, maxiter=40))
+
+
+def humanoid_manipulation_fast():
+    import humanoid_manipulation as ex
+    return _sol_of(ex.main(T=10, maxiter=40))
+
+
+def humanoid_manipulation_ubound_fast():
+    import humanoid_manipulation_ubound as ex
+    return _sol_of(ex.main(T=10, maxiter=40))
+
+
+def bipedal_walk_cop_fast():
+    import bipedal_walk_cop as ex
+    return _sol_of(ex.main(step_knots=6, support_knots=3))
+
+
+def bipedal_walk_changing_gait_fast():
+    import bipedal_walk_changing_gait as ex
+    return _sol_of(ex.main(phases=[
+        dict(step_length=0.4, step_height=0.1, dt=0.03,
+             step_knots=4, support_knots=2),
+        dict(step_length=0.6, step_height=0.1, dt=0.03,
+             step_knots=4, support_knots=2)]))
+
+
+FAST_VARIANTS = {
+    "cartpole_swingup_fast": cartpole_swingup_fast,
+    "humanoid_taichi_fast": humanoid_taichi_fast,
+    "bipedal_walk_fast": bipedal_walk_fast,
+    "quadrupedal_walking_fast": quadrupedal_walking_fast,
+    "quadrupedal_walk_ubound_fast": quadrupedal_walk_ubound_fast,
+    "humanoid_manipulation_fast": humanoid_manipulation_fast,
+    "humanoid_manipulation_ubound_fast": humanoid_manipulation_ubound_fast,
+    "bipedal_walk_cop_fast": bipedal_walk_cop_fast,
+    "bipedal_walk_changing_gait_fast": bipedal_walk_changing_gait_fast,
+}
+EXAMPLES.update(FAST_VARIANTS)

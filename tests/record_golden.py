@@ -12,13 +12,15 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu")
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# CPU-target cache namespace, shared with tests/conftest.py (keeping the
+# TPU terminal's remote-compiler entries out — see tests/run_suite.sh)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)

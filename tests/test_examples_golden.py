@@ -23,12 +23,13 @@ else:  # pragma: no cover — before first record_golden.py run
     pytestmark = pytest.mark.skip(reason="tests/golden.json not recorded yet")
 
 # heavy configs → their own slow lane; everything else runs in the suite.
-# Round-5 widening (VERDICT r4 next-step #7): arm_manipulation(+trajectory)
-# and boxfddp_vs_boxddp moved to the default lane (37-78 s each, measured
-# warm-cache on the 2-core host) → 8/17 configs in the fast lane.  The
-# remaining 9 stay slow because each costs 2-8 minutes here (taichi,
-# humanoids, the 149-iteration walk_ubound — see PARITY.md §d — and the
-# 640-iteration cartpole); the slow lane runs them all via `-m ""`.
+# Round-5 widening (VERDICT r4 next-step #7): all 17 example families are
+# pinned in the DEFAULT lane — 8 at full config size, plus a reduced
+# `*_fast` variant (golden_configs.FAST_VARIANTS) for each of the 9 heavy
+# families, so a regression in any family is caught without paying the
+# 2-8 min/config full sizes (taichi, humanoids, the 149-iteration
+# walk_ubound — see PARITY.md §d — and the 640-iteration cartpole).
+# The slow lane still runs the full-size configs via `-m ""`.
 _HEAVY = {"humanoid_taichi", "bipedal_walk", "quadrupedal_walking",
           "quadrupedal_walk_ubound", "bipedal_walk_cop",
           "humanoid_manipulation", "bipedal_walk_changing_gait",
